@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.corpus.Synth
+import graft.index.{Builder, Tokenizer}
+import graft.query.{Oracle, Searcher}
+
+/** Build + query integration: rank identity vs the brute-force oracle,
+  * content-sha256 integrity, reconstruction, match counting, resume. */
+class IndexSpec extends SparkTestBase {
+  import Searcher.Query
+
+  private lazy val corpus = Synth.corpus(spark, 400, seed = 42L).cache()
+  private lazy val indexDir = {
+    val d = tmpDir("graft-index")
+    // saltTarget=50 forces head-term salting (id_0 has df ~ 300 of 400)
+    Builder.build(spark, corpus, d,
+      Builder.Config(blockSize = 32, nBuckets = 8, nSegments = 2, saltTarget = 50))
+    d
+  }
+
+  private def sampleQueries: Seq[Query] = {
+    // sample real terms from docs (like generate_queries_hard.pl samples
+    // real walks, /root/reference/benchmark/scripts/gin_run.sh:18)
+    val doc0 = Synth.doc(42L, 7L).content
+    val doc1 = Synth.doc(42L, 123L).content
+    val t0 = Tokenizer.tokens(doc0)
+    val t1 = Tokenizer.tokens(doc1)
+    Seq(
+      Query(1, t0(0)),                              // single term
+      Query(2, s"${t0(1)} ${t0(5)}"),               // 2-term AND
+      Query(3, s"${t1(0)} ${t1(3)} ${t1(9)}"),      // 3-term
+      Query(4, "zzz_unknown_term"),                 // DEAD fork -> empty
+      Query(5, s"${t0(2)} ${t0(2)}"),               // duplicated term
+      Query(6, "id_0 id_1"),                        // head terms (skew)
+      Query(7, s"${t1(2)} zzz_unknown_term"),       // partially unknown AND
+      Query(8, t1(4))
+    )
+  }
+
+  test("engine top-k is rank-identical to the brute-force oracle") {
+    val k = 10
+    val got = Searcher.searchTopK(spark, indexDir, sampleQueries, k, Searcher.And, nBuckets = 8)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val withIds = Builder.withDocIds(corpus)
+    val want = Oracle.topK(spark, withIds, sampleQueries, k)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3, s"$g vs $w")
+      assert(math.abs(g._4 - w._4) <= 1e-9, s"score $g vs $w")
+    }
+    // unknown-term conjunctive queries are empty
+    assert(!got.exists(_._1 == 4L) && !got.exists(_._1 == 7L))
+    // known queries produce hits
+    assert(got.exists(_._1 == 1L) && got.exists(_._1 == 6L))
+  }
+
+  test("docmeta sha256 matches source content per row (deindex invariant)") {
+    val meta = spark.read.parquet(s"$indexDir/docmeta")
+    val src = Builder.withDocIds(corpus)
+      .select(col("doc_id"), sha2(col("content"), 256).as("src_sha"))
+    val joined = meta.join(src, "doc_id")
+    assert(joined.count() == corpus.count())
+    assert(joined.filter(col("content_sha256") =!= col("src_sha")).count() == 0)
+  }
+
+  test("postings reconstruct per-doc token counts (deindex round-trip)") {
+    import spark.implicits._
+    val fromIndex = spark.read.parquet(s"$indexDir/postings")
+      .select($"term", $"block_id", $"doc_id_base", $"doc_id_max", $"num_docs",
+        $"max_tf_norm", $"doc_deltas", $"tfs", $"dls")
+      .as[graft.index.PostingBlock]
+      .flatMap(Builder.decodeBlock)
+      .groupBy("doc_id").agg(sum("tf").as("sum_tf"))
+    val fromMeta = spark.read.parquet(s"$indexDir/docmeta").select($"doc_id", $"dl")
+    val bad = fromIndex.join(fromMeta, "doc_id")
+      .filter(col("sum_tf") =!= col("dl")).count()
+    assert(bad == 0)
+    assert(fromIndex.count() == corpus.count())
+  }
+
+  test("dictionary df/cf match recomputation from corpus") {
+    import spark.implicits._
+    val dict = spark.read.parquet(s"$indexDir/dictionary")
+    val recomputed = Builder.withDocIds(corpus)
+      .select(col("doc_id"), explode(Builder.tokensCol(col("content"))).as("term"))
+      .groupBy("term")
+      .agg(countDistinct("doc_id").as("df2"), count(lit(1)).as("cf2"))
+    val bad = dict.join(recomputed, "term")
+      .filter(col("df") =!= col("df2") || col("cf") =!= col("cf2")).count()
+    assert(bad == 0)
+    assert(dict.count() == recomputed.count())
+  }
+
+  test("match counting: engine == oracle, zero-match queries emit rows") {
+    val qs = sampleQueries
+    val counts = Searcher.countMatches(spark, indexDir, qs, nBuckets = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.size == qs.size)
+    assert(counts(4L) == 0L) // unknown term
+    assert(counts(1L) > 0L)
+    // oracle: docs containing every distinct term
+    val withIds = Builder.withDocIds(corpus).cache()
+    val q2terms = Tokenizer.tokens(qs(1).text).distinct
+    val oracleCount = withIds.filter(q2terms.map(t =>
+      array_contains(Builder.tokensCol(col("content")), t)).reduce(_ && _)).count()
+    assert(counts(2L) == oracleCount)
+  }
+
+  test("resume: deleting one segment commit rebuilds only it, identically") {
+    import java.nio.file.{Files, Paths}
+    val d = tmpDir("graft-resume")
+    val conf = Builder.Config(blockSize = 32, nBuckets = 8, nSegments = 2, saltTarget = 30)
+    val small = Synth.corpus(spark, 120, seed = 7L)
+    Builder.build(spark, small, d, conf)
+    def fingerprint(): Array[(String, Long, Long)] =
+      spark.read.parquet(s"$d/postings")
+        .groupBy("term").agg(bit_xor(xxhash64(col("doc_deltas"))).as("h"),
+          sum("num_docs").cast("long").as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+    val before = fingerprint()
+    // simulate a killed run: segment 1 uncommitted + data gone
+    Files.delete(Paths.get(d, "_COMMIT_segment_1"))
+    Files.delete(Paths.get(d, "_COMMIT_index"))
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles.foreach(rm); p.delete()
+    }
+    rm(new java.io.File(s"$d/postings/segment=1"))
+    Builder.build(spark, small, d, conf)
+    val after = fingerprint()
+    assert(after.toSeq == before.toSeq)
+    assert(Files.exists(Paths.get(d, "_COMMIT_segment_1")))
+  }
+
+  test("verification: every reported hit's terms occur in the doc content") {
+    import spark.implicits._
+    val qs = sampleQueries.filter(q => q.query_id != 4 && q.query_id != 7)
+    val hits = Searcher.searchTopK(spark, indexDir, qs, 5, Searcher.And, nBuckets = 8)
+    val withIds = Builder.withDocIds(corpus)
+      .select($"doc_id", $"content")
+    val resolved = hits.join(withIds, "doc_id")
+      .select($"query_id", $"doc_id", $"content")
+      .as[(Long, Long, String)].collect()
+    val byQ = qs.map(q => q.query_id -> Tokenizer.tokens(q.text).distinct).toMap
+    resolved.foreach { case (qid, _, content) =>
+      val docTerms = Tokenizer.tokens(content).toSet
+      assert(byQ(qid).forall(docTerms.contains))
+    }
+  }
+}
