@@ -1,0 +1,420 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.corpus.Corpus
+import graft.index.Builder
+import graft.ops.{Ann, Dedup, Multimodal, TextOps}
+import graft.query.Searcher
+
+/** Driver-gate queries: every entry has a Spark implementation reading
+  * `$sfDir/documents.parquet` / `embeddings.parquet` and (where
+  * SQL-expressible) a DuckDB oracle computing the same result. Column
+  * names/types are aligned pairwise; scores/ratios rounded to 6 decimals
+  * so cross-engine float noise cannot flip hashes; integral outputs cast
+  * to BIGINT on both sides.
+  */
+object Gate {
+
+  // ---- index cache: build once per sfDir (Builder is idempotent via
+  //      commit markers, so concurrent/repeated calls are cheap) --------
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def gateConfig: Builder.Config =
+    Builder.Config(blockSize = 128, nBuckets = 16, nSegments = 4, saltTarget = 200)
+
+  def indexDir(spark: SparkSession, sfDir: String): String =
+    built.computeIfAbsent(sfDir, { _ =>
+      val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+      val dir = s"target/gate-index/$key"
+      Builder.build(spark, Corpus.fromDocuments(spark, sfDir), dir, gateConfig)
+      dir
+    })
+
+  // ---- fixed reference query set (terms sampled from the corpus
+  //      vocabulary; the .ginq analog) ---------------------------------
+  val GateQueries: Seq[Searcher.Query] = Seq(
+    Searcher.Query(1, "spark merge join"),
+    Searcher.Query(2, "window"),
+    Searcher.Query(3, "table scan"),
+    Searcher.Query(4, "stream batch window group"),
+    Searcher.Query(5, "zzz_nonexistent_term"),
+    Searcher.Query(6, "the data"),
+    Searcher.Query(7, "filter filter"), // duplicate term -> 1 distinct
+    Searcher.Query(8, "customer line value"))
+
+  /** Distinct (query_id, term, n_terms) rows — mirrored in SQL VALUES. */
+  private def qtRows: Seq[(Long, String, Int)] = GateQueries.flatMap { q =>
+    val ts = graft.index.Tokenizer.tokens(q.text).distinct
+    ts.map(t => (q.query_id, t, ts.length))
+  }
+
+  private val QtValuesSql: String = qtRows
+    .map { case (q, t, n) => s"($q, '$t', $n)" }.mkString(", ")
+
+  // ---- shared SQL prelude (DuckDB): identical corpus mapping,
+  //      docID assignment, tokenizer, postings, dict, stats -------------
+  private val Prelude = s"""
+    |WITH corpus AS (
+    |  SELECT source AS repo,
+    |         'doc_' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt' AS path,
+    |         substr(md5(text), 1, 8) AS commit_id,
+    |         lang, text AS content
+    |  FROM documents),
+    |ids AS (
+    |  SELECT repo, path, commit_id, lang, content,
+    |         row_number() OVER (ORDER BY repo, path, commit_id) - 1 AS doc_id,
+    |         len(list_filter(string_split_regex(lower(content), '[^a-z0-9_]+'),
+    |             x -> x <> '')) AS dl
+    |  FROM corpus),
+    |toks AS (
+    |  SELECT doc_id,
+    |         unnest(list_filter(string_split_regex(lower(content), '[^a-z0-9_]+'),
+    |                x -> x <> '')) AS term
+    |  FROM ids),
+    |postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+    |dict AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+    |         FROM postings GROUP BY 1),
+    |stats AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM ids),
+    |qt(query_id, term, n_terms) AS (VALUES $QtValuesSql)
+    |""".stripMargin
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  // =====================================================================
+  // Query implementations (Spark side)
+  // =====================================================================
+
+  def qCorpus(s: SparkSession, dir: String): DataFrame =
+    Corpus.fromDocuments(s, dir)
+      .select(col("repo"), col("path"), col("commit"), col("lang"),
+        md5(col("content")).as("content_md5"))
+
+  def qDocmeta(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${indexDir(s, dir)}/docmeta")
+      .select(col("doc_id").cast("long"), col("repo"), col("path"),
+        col("commit"), col("dl").cast("long").as("dl"), col("content_sha256"))
+
+  def qDictionary(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${indexDir(s, dir)}/dictionary")
+      .select(col("term"), col("df").cast("long"), col("cf").cast("long"))
+
+  def qStats(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${indexDir(s, dir)}/stats")
+      .select(col("n_docs").cast("long"), round(col("avgdl"), 6).as("avgdl"))
+
+  def qPostings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"${indexDir(s, dir)}/postings")
+      .select($"term", $"block_id", $"doc_id_base", $"doc_id_max",
+        $"num_docs", $"max_tf_norm", $"doc_deltas", $"tfs", $"dls")
+      .as[graft.index.PostingBlock]
+      .flatMap(Builder.decodeBlock)
+      .select(col("term"), col("doc_id").cast("long"),
+        col("tf").cast("long").as("tf"))
+  }
+
+  def qTopkBm25(s: SparkSession, dir: String): DataFrame =
+    Searcher.searchTopK(s, indexDir(s, dir), GateQueries, 10,
+        Searcher.And, nBuckets = gateConfig.nBuckets)
+      .select(col("query_id").cast("long"), col("rank").cast("long"),
+        col("doc_id").cast("long"), col("score"))
+
+  def qTopkResolved(s: SparkSession, dir: String): DataFrame =
+    Searcher.resolve(s, indexDir(s, dir),
+        Searcher.searchTopK(s, indexDir(s, dir), GateQueries, 5,
+          Searcher.And, nBuckets = gateConfig.nBuckets))
+      .select(col("query_id").cast("long"), col("rank").cast("long"),
+        col("doc_id").cast("long"), col("score"), col("repo"), col("path"),
+        col("commit"))
+
+  def qMatchCount(s: SparkSession, dir: String): DataFrame =
+    Searcher.countMatches(s, indexDir(s, dir), GateQueries,
+        nBuckets = gateConfig.nBuckets)
+      .select(col("query_id").cast("long"), col("n_matches").cast("long"))
+
+  def qBooleanAnd(s: SparkSession, dir: String): DataFrame =
+    Searcher.searchCandidates(s, indexDir(s, dir), GateQueries,
+        nBuckets = gateConfig.nBuckets)
+      .select(col("query_id").cast("long"), col("doc_id").cast("long"))
+
+  /** Bigram spectrum — the k-mer spectrum analog (gin utils spectrum,
+    * /root/reference/src/gin_graph.c:164-280). */
+  def qSpectrumBigram(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val toks = Builder.tokensCol(col("text"))
+    d.select(explode(transform(
+        sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2))))).as("bigram"))
+      .filter(size(split(col("bigram"), " ")) === 2)
+      .groupBy("bigram").agg(count(lit(1)).cast("long").as("n"))
+  }
+
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(docs(s, dir))
+      .select(col("content_sha256"), col("n_docs").cast("long"),
+        col("min_doc_id").cast("long"))
+
+  def qNearDupJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(docs(s, dir), k = 3, minJ = 0.5)
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"),
+        col("jaccard"))
+
+  def qMinhashCandidates(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(docs(s, dir))
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+
+  def qSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(s, dir))
+
+  def qLangId(s: SparkSession, dir: String): DataFrame =
+    TextOps.langId(docs(s, dir))
+      .select(col("doc_id").cast("long"), col("lang_pred"))
+
+  def qQuality(s: SparkSession, dir: String): DataFrame =
+    TextOps.quality(docs(s, dir))
+      .select(col("doc_id").cast("long"), col("n_tokens"),
+        col("avg_token_len"), col("stopword_ratio"), col("quality_ok"))
+
+  def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    TextOps.tokenCounts(docs(s, dir))
+      .select(col("doc_id").cast("long"), col("n_ws_tokens"),
+        col("n_re_tokens"))
+
+  def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextOps.fingerprint(docs(s, dir))
+      .select(col("doc_id").cast("long"), col("fingerprint"))
+
+  def qAnnCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Ann.bruteForceTopK(e.filter(col("vec_id") < 20), e, k = 5)
+      .select(col("query_id").cast("long"), col("rank").cast("long"),
+        col("neighbor_id").cast("long"), col("cos"))
+  }
+
+  def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Ann.lshTopK(e.filter(col("vec_id") < 20), e, k = 5)
+      .select(col("query_id").cast("long"), col("rank").cast("long"),
+        col("neighbor_id").cast("long"), col("cos"))
+  }
+
+  def qMultimodal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.extractFeatures(Multimodal.asMediaTable(docs(s, dir)))
+      .select(col("doc_id").cast("long"), col("media_type"),
+        col("n_bytes").cast("long"),
+        round(element_at(col("feature"), 1), 6).as("mean_byte"))
+  }
+
+  // =====================================================================
+  // Oracle SQL (DuckDB dialect, same parquet tables)
+  // =====================================================================
+
+  val oracle: Map[String, String] = Map(
+    "q_corpus" -> s"""$Prelude
+      SELECT repo, path, commit_id AS "commit", lang, md5(content) AS content_md5
+      FROM corpus""",
+
+    "q_docmeta" -> s"""$Prelude
+      SELECT doc_id, repo, path, commit_id AS "commit",
+             CAST(dl AS BIGINT) AS dl, sha256(content) AS content_sha256
+      FROM ids""",
+
+    "q_dictionary" -> s"""$Prelude SELECT term, df, cf FROM dict""",
+
+    "q_stats" -> s"""$Prelude
+      SELECT n_docs, round(avgdl, 6) AS avgdl FROM stats""",
+
+    "q_postings" -> s"""$Prelude
+      SELECT term, doc_id, CAST(tf AS BIGINT) AS tf FROM postings""",
+
+    "q_topk_bm25" -> topkSql(10,
+      "SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10"),
+
+    "q_topk_resolved" -> topkSql(5,
+      """SELECT r.query_id, r.rank, r.doc_id, r.score,
+               i.repo, i.path, i.commit_id AS "commit"
+         FROM ranked r JOIN ids i USING (doc_id) WHERE r.rank <= 5"""),
+
+    "q_match_count" -> s"""$Prelude,
+      counts AS (
+        SELECT q.query_id, p.doc_id, count(*) AS nmatch, max(q.n_terms) AS n_terms
+        FROM qt q JOIN postings p USING (term)
+        GROUP BY 1, 2),
+      matched AS (
+        SELECT query_id, count(*) AS n_matches FROM counts
+        WHERE nmatch = n_terms GROUP BY 1)
+      SELECT q.query_id, CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches
+      FROM (SELECT DISTINCT query_id FROM qt) q
+      LEFT JOIN matched m USING (query_id)""",
+
+    "q_boolean_and" -> s"""$Prelude,
+      counts AS (
+        SELECT q.query_id, p.doc_id, count(*) AS nmatch, max(q.n_terms) AS n_terms
+        FROM qt q JOIN postings p USING (term)
+        GROUP BY 1, 2)
+      SELECT query_id, doc_id FROM counts WHERE nmatch = n_terms""",
+
+    "q_spectrum_bigram" -> """
+      WITH tl AS (SELECT
+               list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                 x -> x <> '') AS t
+             FROM documents),
+      bg AS (
+        SELECT unnest(list_transform(range(len(t) - 1),
+                 p -> t[p + 1] || ' ' || t[p + 2])) AS bigram
+        FROM tl WHERE len(t) >= 2)
+      SELECT bigram, count(*) AS n FROM bg GROUP BY 1""",
+
+    "q_dedup_exact" -> """
+      SELECT sha256(text) AS content_sha256, count(*) AS n_docs,
+             min(doc_id) AS min_doc_id
+      FROM documents GROUP BY 1""",
+
+    "q_neardup_jaccard" -> """
+      WITH tl AS (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                 x -> x <> '') AS t
+             FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(len(t) - 2),
+                 p -> t[p + 1] || ' ' || t[p + 2] || ' ' || t[p + 3])) AS shingle
+        FROM tl WHERE len(t) >= 3),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      com AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT c.doc_a, c.doc_b,
+             round(CAST(c.n_common AS DOUBLE) /
+                   (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
+      FROM com c
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common)
+            >= 0.5""",
+
+    "q_langid" -> """
+      WITH tl AS (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                 x -> x <> '') AS t
+             FROM documents),
+      v AS (
+        SELECT doc_id,
+          len(list_filter(t, x -> x IN ('the','and','of','is'))) AS en,
+          len(list_filter(t, x -> x IN ('le','la','et','les'))) AS fr,
+          len(list_filter(t, x -> x IN ('der','die','und','das'))) AS de,
+          len(list_filter(t, x -> x IN ('el','los','que','y'))) AS es
+        FROM tl)
+      SELECT doc_id,
+        CASE WHEN en >= fr AND en >= de AND en >= es AND en > 0 THEN 'en'
+             WHEN fr >= de AND fr >= es AND fr > 0 THEN 'fr'
+             WHEN de >= es AND de > 0 THEN 'de'
+             WHEN es > 0 THEN 'es'
+             ELSE 'unknown' END AS lang_pred
+      FROM v""",
+
+    "q_quality" -> """
+      WITH tl AS (SELECT doc_id, text AS content,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                 x -> x <> '') AS t
+             FROM documents)
+      SELECT doc_id,
+        CAST(len(t) AS BIGINT) AS n_tokens,
+        round(CAST(length(regexp_replace(content, '\s+', '', 'g')) AS DOUBLE)
+              / greatest(len(t), 1), 6) AS avg_token_len,
+        round(CAST(len(list_filter(t,
+                x -> x IN ('the','a','of','and','to','in','is','it')))
+              AS DOUBLE) / greatest(len(t), 1), 6) AS stopword_ratio,
+        len(t) BETWEEN 10 AND 100000 AS quality_ok
+      FROM tl""",
+
+    "q_token_count" -> """
+      SELECT doc_id,
+        CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+          AS BIGINT) AS n_ws_tokens,
+        CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+          x -> x <> '')) AS BIGINT) AS n_re_tokens
+      FROM documents""",
+
+    // q_minhash_candidates / q_ann_lsh / q_simhash / q_fingerprint /
+    // q_multimodal: deterministic but hash-function-specific (xxhash64 /
+    // splitmix) — not reproducible in DuckDB SQL, so rows-only checks;
+    // their semantics are unit-tested in OpsSpec instead.
+    "q_ann_cosine" -> """
+      WITH ex AS (
+        SELECT vec_id, unnest(range(len(embedding))) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+      norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+      dots AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               sum(a.v * b.v) AS dot
+        FROM ex a JOIN ex b USING (pos)
+        WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id
+        GROUP BY 1, 2),
+      cosv AS (
+        SELECT d.query_id, d.neighbor_id,
+               round(d.dot / (na.nrm * nb.nrm), 6) AS cos
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.query_id
+        JOIN norms nb ON nb.vec_id = d.neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS rank
+        FROM cosv)
+      SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5"""
+  )
+
+  /** Shared BM25 top-k SQL (DuckDB): identical formula shape to the
+    * engine's column expression. */
+  private def topkSql(k: Int, select: String): String = s"""$Prelude,
+    scored AS (
+      SELECT q.query_id, p.doc_id,
+             sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * 2.2 * p.tf /
+                 (p.tf + 1.2 * (0.25 + 0.75 * i.dl / s.avgdl))) AS raw,
+             count(*) AS nmatch, max(q.n_terms) AS n_terms
+      FROM qt q
+      JOIN dict d USING (term)
+      JOIN postings p USING (term)
+      JOIN ids i USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT query_id, doc_id, round(raw, 6) AS score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY round(raw, 6) DESC, doc_id) AS rank
+      FROM scored WHERE nmatch = n_terms)
+    $select"""
+
+  /** name -> Spark implementation. Keys with no `oracle` entry get the
+    * driver's weaker rows-only check (probabilistic/LSH/stub operators). */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus" -> (qCorpus _),
+    "q_docmeta" -> (qDocmeta _),
+    "q_dictionary" -> (qDictionary _),
+    "q_stats" -> (qStats _),
+    "q_postings" -> (qPostings _),
+    "q_topk_bm25" -> (qTopkBm25 _),
+    "q_topk_resolved" -> (qTopkResolved _),
+    "q_match_count" -> (qMatchCount _),
+    "q_boolean_and" -> (qBooleanAnd _),
+    "q_spectrum_bigram" -> (qSpectrumBigram _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_neardup_jaccard" -> (qNearDupJaccard _),
+    "q_minhash_candidates" -> (qMinhashCandidates _),
+    "q_simhash" -> (qSimhash _),
+    "q_langid" -> (qLangId _),
+    "q_quality" -> (qQuality _),
+    "q_token_count" -> (qTokenCount _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_ann_cosine" -> (qAnnCosine _),
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_multimodal" -> (qMultimodal _))
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.index.Builder
+
+/** Text-analysis operators for a large-scale training-data pipeline —
+  * all pure column expressions (whole-stage codegen, no UDFs), so they
+  * push down and scale linearly with the corpus.
+  *
+  * Input contract: a DataFrame with (doc_id LONG, text STRING).
+  */
+object TextOps {
+
+  val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Whitespace token count + regex ("BPE-ish" word/number piece) count. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+        .cast("long").as("n_ws_tokens"),
+      size(filter(split(lower(col("text")), "[^a-z0-9_]+"), t => length(t) > 0))
+        .cast("long").as("n_re_tokens"))
+
+  /** Quality scoring: length, mean token length, stopword ratio, and a
+    * boolean gate — the usual pre-training heuristics. */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = Builder.tokensCol(col("text"))
+    val nTok = size(toks)
+    val stopHits = size(filter(toks, t => t.isin(Stopwords.map(lit): _*)))
+    docs.select(
+      col("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      round(length(regexp_replace(col("text"), "\\s+", ""))
+        .cast("double") / greatest(nTok, lit(1)), 6).as("avg_token_len"),
+      round(stopHits.cast("double") / greatest(nTok, lit(1)), 6)
+        .as("stopword_ratio"),
+      (nTok >= 10 && nTok <= 100000).as("quality_ok"))
+  }
+
+  /** Language-ID heuristic: stopword/marker-token votes with a
+    * deterministic tie-break. (A real model is out of scope; the operator
+    * shape — cheap per-doc scoring over markers — is what scales.) */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = Builder.tokensCol(col("text"))
+    def votes(markers: Seq[String]): Column =
+      size(filter(toks, t => t.isin(markers.map(lit): _*)))
+    val en = votes(Seq("the", "and", "of", "is"))
+    val fr = votes(Seq("le", "la", "et", "les"))
+    val de = votes(Seq("der", "die", "und", "das"))
+    val es = votes(Seq("el", "los", "que", "y"))
+    docs.select(
+      col("doc_id"),
+      when(en >= fr && en >= de && en >= es && en > 0, "en")
+        .when(fr >= de && fr >= es && fr > 0, "fr")
+        .when(de >= es && de > 0, "de")
+        .when(es > 0, "es")
+        .otherwise("unknown").as("lang_pred"))
+  }
+
+  /** Rolling polynomial fingerprint over tokens (doc-level dedup key that
+    * ignores whitespace/punctuation differences): base-31 polynomial of
+    * token hashes mod 1e9+7. Modular form keeps every intermediate well
+    * inside Long range (Spark 4 ANSI mode turns overflow into a job
+    * failure, so wrapping arithmetic is not an option). */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val M = 1000000007L
+    val toks = Builder.tokensCol(col("text"))
+    docs.select(
+      col("doc_id"),
+      aggregate(toks, lit(0L),
+        (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(M)), lit(M)))
+        .as("fingerprint"))
+  }
+}
