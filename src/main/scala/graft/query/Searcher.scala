@@ -46,19 +46,15 @@ object Searcher {
   def searchTopK(spark: SparkSession, indexDir: String, queries: Seq[Query],
                  k: Int, mode: Mode = And, nBuckets: Int = 32): DataFrame = {
     import spark.implicits._
-    val stats = Builder.loadStats(spark, indexDir)
+    val handle = IndexHandle.open(spark, indexDir, nBuckets)
+    val stats = handle.stats
 
     val termsPerQuery: Map[Long, Seq[String]] =
       queries.map(q => q.query_id -> Tokenizer.tokens(q.text).distinct.toSeq).toMap
     val allTerms = termsPerQuery.values.flatten.toSeq.distinct
 
-    // dictionary probe (pruned read; the cache-lookup analog Q10)
-    val dict: Map[String, Long] =
-      if (allTerms.isEmpty) Map.empty
-      else spark.read.parquet(s"$indexDir/dictionary")
-        .filter(col("bucket").isin(bucketIds(allTerms, nBuckets): _*)
-          && col("term").isin(allTerms: _*))
-        .select("term", "df").as[(String, Long)].collect().toMap
+    // dictionary probe (warm handle; the cache-lookup analog Q10)
+    val dict: Map[String, Long] = handle.dfOf(allTerms)
 
     // live queries: AND requires every term present
     val live = termsPerQuery.filter { case (_, ts) =>
@@ -79,9 +75,7 @@ object Searcher {
       present.map(t => QueryTerm(qid, t, Bm25.idf(stats.n_docs, dict(t)), ts.size))
     }
 
-    val blocks0 = spark.read.parquet(s"$indexDir/postings")
-      .filter(col("bucket").isin(bucketIds(liveTerms, nBuckets): _*)
-        && col("term").isin(liveTerms: _*))
+    val blocks0 = handle.blocksFor(liveTerms)
 
     // block-max/interval pruning (AND only): a conjunctive candidate doc
     // must lie in every term's covered doc ranges
@@ -140,9 +134,8 @@ object Searcher {
     val allTerms = termsPerQuery.values.flatten.toSeq.distinct
     if (allTerms.isEmpty)
       return Seq.empty[(Long, Long)].toDF("query_id", "doc_id")
-    val postings = spark.read.parquet(s"$indexDir/postings")
-      .filter(col("bucket").isin(bucketIds(allTerms, nBuckets): _*)
-        && col("term").isin(allTerms: _*))
+    val postings = IndexHandle.open(spark, indexDir, nBuckets)
+      .blocksFor(allTerms)
       .select("term", "block_id", "doc_id_base", "doc_id_max", "num_docs",
         "max_tf_norm", "doc_deltas", "tfs", "dls")
       .as[PostingBlock].flatMap(Builder.decodeBlock)
@@ -160,15 +153,9 @@ object Searcher {
     * (vid, offset) decode analog (/root/reference/src/gin_gin.c:817-863),
     * a broadcast join at small k. */
   def resolve(spark: SparkSession, indexDir: String, topk: DataFrame): DataFrame = {
-    val meta = spark.read.parquet(s"$indexDir/docmeta")
-      .select("doc_id", "repo", "path", "commit")
+    val meta = IndexHandle.open(spark, indexDir).docmeta
     topk.join(meta, Seq("doc_id"), "left")
       .select("query_id", "rank", "doc_id", "score", "repo", "path", "commit")
-  }
-
-  private def bucketIds(terms: Seq[String], nBuckets: Int): Seq[Int] = {
-    // must match Builder.bucketOf: pmod(xxhash64(term), nBuckets)
-    terms.map(t => graft.util.Hashing.bucketOf(t, nBuckets)).distinct
   }
 
   /** Driver-side interval-intersection pruning on block metadata.

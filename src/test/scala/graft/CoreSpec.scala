@@ -63,6 +63,16 @@ class CoreSpec extends AnyFunSuite with PropHelpers {
     }
   }
 
+  test("scanner tokenizer == regex-split tokenizer on ASCII") {
+    forAll(Gen.asciiPrintableStr, 300) { s =>
+      assert(Tokenizer.tokens(s).toSeq == Tokenizer.tokensRegex(s).toSeq)
+    }
+    // targeted edge cases
+    Seq("", "  ", "_", "a_b", "A1_B2 c", "x\ty\nz", "Ab..cD", "0", "__")
+      .foreach(s => assert(
+        Tokenizer.tokens(s).toSeq == Tokenizer.tokensRegex(s).toSeq, s))
+  }
+
   test("tokenizer matches the documented split semantics") {
     assert(Tokenizer.tokens("def Foo_bar(x1): return x1 + 2").toSeq ==
       Seq("def", "foo_bar", "x1", "return", "x1", "2"))

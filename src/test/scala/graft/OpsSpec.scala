@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.index.Tokenizer
+import graft.ops.{Ann, Dedup, Multimodal, TextOps}
+
+/** Training-pipeline operators: semantics that the DuckDB oracle cannot
+  * check (hash-specific ops) plus equivalence properties for the ones it
+  * can. */
+class OpsSpec extends SparkTestBase {
+  import org.apache.spark.sql.DataFrame
+
+  private lazy val docs: DataFrame = {
+    import spark.implicits._
+    val base = (0L until 40L).map { i =>
+      val toks = (0 until (5 + (i % 13).toInt))
+        .map(j => s"w${(i * 7 + j * j) % 23}")
+      (i, toks.mkString(" "))
+    }
+    // seed exact dups and near dups
+    val rows = base ++ Seq(
+      (100L, base(3)._2),                  // exact dup of doc 3
+      (101L, base(5)._2 + " extra"),       // near dup of doc 5
+      (102L, "completely unrelated text about nothing at all"))
+    rows.toDF("doc_id", "text")
+  }
+
+  test("kgrams column == Scala sliding windows") {
+    import spark.implicits._
+    for (k <- 2 to 4) {
+      val got = Dedup.shingles(docs, k)
+        .as[(Long, String)].collect().groupBy(_._1)
+        .map { case (id, xs) => id -> xs.map(_._2).toSet }
+      val want = docs.as[(Long, String)].collect().flatMap { case (id, t) =>
+        val ts = Tokenizer.tokens(t)
+        if (ts.length >= k)
+          Some(id -> ts.sliding(k).map(_.mkString(" ")).toSet)
+        else None
+      }.toMap
+      assert(got == want, s"k=$k")
+    }
+  }
+
+  test("exact dedup groups catch seeded duplicate") {
+    val groups = Dedup.exactGroups(docs).filter(col("n_docs") > 1).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("min_doc_id") == 3L)
+    assert(Dedup.exactDedup(docs).count() == docs.count() - 1)
+  }
+
+  test("jaccard pairs == exact local all-pairs computation at 0.8") {
+    import spark.implicits._
+    val pairs = Dedup.jaccardPairs(docs, k = 2, minJ = 0.8)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    // exact oracle: all-pairs 2-shingle jaccard in plain Scala
+    val sh = docs.as[(Long, String)].collect().map { case (id, t) =>
+      id -> Tokenizer.tokens(t).sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val want = (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= 0.8
+    } yield (a, b) -> BigDecimal(j).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    assert(pairs == want)
+    assert(pairs.contains((3L, 100L)) && pairs((3L, 100L)) == 1.0)
+    assert(pairs.contains((5L, 101L)))
+  }
+
+  test("minhash LSH candidates include the exact duplicate pair") {
+    import spark.implicits._
+    val cands = Dedup.minhashCandidates(docs, k = 2, nHashes = 32, bands = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((3L, 100L))) // identical docs always collide
+  }
+
+  test("simhash: identical docs equal, hamming distance sane for near dup") {
+    import spark.implicits._
+    val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(sh(3L) == sh(100L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(5L), sh(101L)) < ham(sh(5L), sh(102L)))
+  }
+
+  test("fingerprint: deterministic, equal for dups, in [0, 1e9+7)") {
+    import spark.implicits._
+    val fp = TextOps.fingerprint(docs).as[(Long, Long)].collect().toMap
+    assert(fp(3L) == fp(100L))
+    assert(fp.values.forall(v => v >= 0 && v < 1000000007L))
+    val fp2 = TextOps.fingerprint(docs).as[(Long, Long)].collect().toMap
+    assert(fp == fp2)
+  }
+
+  test("quality + token counts agree with direct computation") {
+    import spark.implicits._
+    val q = TextOps.quality(docs).as[(Long, Long, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    val t = docs.as[(Long, String)].collect().toMap
+    q.foreach { case (id, (_, nTokens, _, _, ok)) =>
+      val want = Tokenizer.tokens(t(id)).length
+      assert(nTokens == want)
+      assert(ok == (want >= 10 && want <= 100000))
+    }
+  }
+
+  test("ANN brute force: self excluded, ranks by cosine, k respected") {
+    import spark.implicits._
+    val emb = (0L until 30L).map { i =>
+      (i, (0 until 8).map(d => math.sin(i * 0.7 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val res = Ann.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 3)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(res.length == 15)
+    res.groupBy(_._1).foreach { case (_, hits) =>
+      val sorted = hits.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == Seq(1, 2, 3))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4 || (a._4 == b._4 && a._3 < b._3)
+        case _ => true
+      })
+      assert(hits.forall(h => h._1 != h._3))
+    }
+    // brute-force ranking equals a local recomputation
+    val embL = emb.as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    res.groupBy(_._1).foreach { case (q, hits) =>
+      val want = embL.keys.filter(_ != q).toSeq
+        .map(n => (n, BigDecimal(cos(embL(q), embL(n)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .sortBy { case (n, c) => (-c, n) }.take(3).map(_._1)
+      assert(hits.sortBy(_._2).map(_._3).toSeq == want, s"query $q")
+    }
+  }
+
+  test("LSH ANN returns a subset consistent with brute-force cosine") {
+    import spark.implicits._
+    val emb = (0L until 40L).map { i =>
+      (i, (0 until 8).map(d => math.cos(i * 1.3 + d * 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val bf = Ann.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 40)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap
+    val lsh = Ann.lshTopK(emb.filter(col("vec_id") < 5), emb, 3)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (q, _, n, c) =>
+      assert(math.abs(bf((q, n)) - c) <= 1e-9) // same cosine where present
+    }
+  }
+
+  test("multimodal: stub features deterministic, chunk sampling shaped") {
+    import spark.implicits._
+    val media = Multimodal.asMediaTable(docs)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == docs.count())
+    feats.foreach { f =>
+      assert(f.feature.length == 4)
+      assert(f.n_bytes > 0)
+      assert(f.feature(0) >= 0 && f.feature(0) <= 255)
+    }
+    val chunks = Multimodal.sampleChunks(media, chunkBytes = 16, everyNth = 2)
+      .as[(Long, Int, Int, Seq[Double])].collect()
+    assert(chunks.nonEmpty)
+    assert(chunks.forall(_._2 % 2 == 0)) // every 2nd chunk only
+    assert(chunks.forall(_._3 <= 16))
+  }
+}
