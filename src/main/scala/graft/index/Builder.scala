@@ -232,12 +232,20 @@ object Builder {
           .withColumn("span", ceil(lit(nDocs.toDouble) / col("n_salts")).cast("long"))
           .withColumn("salt", (col("doc_id") / col("span")).cast("int"))
           .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("salt"))
+        // blocks must BREAK at salt boundaries: one partition can hold
+        // non-adjacent salts of the same term, and a block glued across
+        // the gap would overlap other salts' block ranges — violating the
+        // disjoint-sorted invariant the WAND cursor skip relies on
         val blocks = raw
           .repartition(nPart, xxhash64(col("term"), col("salt")))
-          .sortWithinPartitions("term", "doc_id")
-          .select("term", "doc_id", "tf", "dl")
-          .as[Posting]
-          .mapPartitions(encodeBlocks(_, avgdl, conf.blockSize))
+          .sortWithinPartitions("term", "salt", "doc_id")
+          .select("term", "doc_id", "tf", "dl", "salt")
+          .as[(String, Long, Int, Int, Int)]
+          .mapPartitions { it =>
+            encodeBlocksKeyed(
+              it.map { case (t, d, tf, dl, s) => (Posting(t, d, tf, dl), s) },
+              avgdl, conf.blockSize)
+          }
         blocks
           .withColumn("bucket", bucketOf(col("term"), conf.nBuckets))
           .write.mode(SaveMode.Overwrite).parquet(segDir)
@@ -262,20 +270,29 @@ object Builder {
   /** Encode a (term, doc_id)-sorted partition into posting blocks.
     * Pure iterator -> iterator; one pass, bounded memory (blockSize). */
   def encodeBlocks(it: Iterator[Posting], avgdl: Double, blockSize: Int): Iterator[PostingBlock] =
+    encodeBlocksKeyed(it.map(p => (p, 0)), avgdl, blockSize)
+
+  /** Like encodeBlocks but additionally breaks blocks when `key` changes
+    * (the salt id): a block must never span a salt boundary or its
+    * [base, max] range would overlap other partitions' blocks. */
+  def encodeBlocksKeyed(it: Iterator[(Posting, Int)], avgdl: Double,
+                        blockSize: Int): Iterator[PostingBlock] =
     new Iterator[PostingBlock] {
       private val in = it.buffered
       private var blockSeq = 0
       private var lastTerm: String = null
       def hasNext: Boolean = in.hasNext
       def next(): PostingBlock = {
-        val term = in.head.term
+        val (head, key) = in.head
+        val term = head.term
         if (term != lastTerm) { blockSeq = 0; lastTerm = term }
         val ids = new ArrayBuffer[Long](blockSize)
         val tfs = new ArrayBuffer[Int](blockSize)
         val dls = new ArrayBuffer[Int](blockSize)
         var maxNorm = 0.0
-        while (in.hasNext && in.head.term == term && ids.length < blockSize) {
-          val p = in.next()
+        while (in.hasNext && in.head._1.term == term && in.head._2 == key
+            && ids.length < blockSize) {
+          val (p, _) = in.next()
           ids += p.doc_id; tfs += p.tf; dls += p.dl
           val n = Bm25.tfNorm(p.tf, p.dl, avgdl)
           if (n > maxNorm) maxNorm = n

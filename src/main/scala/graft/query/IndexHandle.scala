@@ -50,14 +50,34 @@ class IndexHandle private (
         .select("term", "df").as[(String, Long)].collect().toMap)
     } else None
 
-  /** Posting blocks, persisted (deserialized columnar batches in memory). */
+  /** Cap on postings bytes pinned in executor memory. Above it the
+    * handle serves blocks from parquet with bucket + term pushdown —
+    * at petabyte scale only the dictionary/stats are resident, exactly
+    * like the reference keeps the cache resident but the FMI on disk
+    * when too large. */
+  private val PersistCap = 8L << 30
+
+  private def dirBytes(p: String): Long = {
+    val root = new java.io.File(p)
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+    if (root.exists()) walk(root) else 0L
+  }
+
+  val postingsBytes: Long = dirBytes(s"$dir/postings")
+  val postingsResident: Boolean = postingsBytes <= PersistCap
+
+  /** Posting blocks: persisted when they fit the cap, else a lazy
+    * parquet scan (term/bucket filters push down to row groups). */
   val blocks: DataFrame = {
     val b = spark.read.parquet(s"$dir/postings")
       .select("term", "block_id", "doc_id_base", "doc_id_max", "num_docs",
         "max_tf_norm", "doc_deltas", "tfs", "dls", "bucket")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    b.count() // materialize
-    b
+    if (postingsResident) {
+      val p = b.persist(StorageLevel.MEMORY_AND_DISK)
+      p.count() // materialize
+      p
+    } else b
   }
 
   /** docmeta projected to the resolve columns, persisted. */
@@ -82,11 +102,17 @@ class IndexHandle private (
         .select("term", "df").as[(String, Long)].collect().toMap
   }
 
-  /** Blocks restricted to the given terms (term-pruned; served from the
-    * persisted table, so no parquet IO on the hot path). */
+  /** Blocks restricted to the given terms. Resident: a filter over the
+    * in-memory table. Non-resident: bucket directory pruning + term
+    * predicate pushdown reach the parquet scan, so only the row groups
+    * that can contain these terms are read. */
   def blocksFor(terms: Seq[String]): DataFrame =
     if (terms.isEmpty) blocks.filter(lit(false))
-    else blocks.filter(col("term").isin(terms: _*))
+    else if (postingsResident) blocks.filter(col("term").isin(terms: _*))
+    else blocks.filter(
+      col("bucket").isin(
+        terms.map(t => graft.util.Hashing.bucketOf(t, nBuckets)).distinct: _*)
+        && col("term").isin(terms: _*))
 
   def close(): Unit = {
     blocks.unpersist()

@@ -41,9 +41,72 @@ object Searcher {
   case object And extends Mode // posting-list intersection (north rule)
   case object Or extends Mode // disjunctive BM25
 
-  /** Top-k search over a built index.
+  /** Σ df above which searchTopK routes to the distributed relational
+    * plan instead of the driver-local WAND loop. */
+  val WandDfCap = 5000000L
+
+  /** Top-k search over a built index — dispatcher.
+    * Small posting volume (Σ df of the query's terms <= WandDfCap): the
+    * exact block-max WAND loop over collected (still-compressed) blocks —
+    * the serving path. Larger: the distributed relational plan. Both
+    * produce identical rankings ((score6 DESC, doc_id ASC)).
     * Returns (query_id, rank, doc_id, score) with rank 1..k. */
   def searchTopK(spark: SparkSession, indexDir: String, queries: Seq[Query],
+                 k: Int, mode: Mode = And, nBuckets: Int = 32): DataFrame = {
+    val handle = IndexHandle.open(spark, indexDir, nBuckets)
+    val allTerms = queries.flatMap(q => Tokenizer.tokens(q.text)).distinct
+    val dfSum = handle.dfOf(allTerms).values.sum
+    if (dfSum <= WandDfCap)
+      searchTopKWand(spark, indexDir, queries, k, mode, nBuckets)
+    else
+      searchTopKRelational(spark, indexDir, queries, k, mode, nBuckets)
+  }
+
+  /** Driver-local exact BMW path (see Wand). Blocks for the query's
+    * terms are collected still-compressed (varint payloads); whole
+    * blocks are skipped by block-max metadata without decoding. */
+  def searchTopKWand(spark: SparkSession, indexDir: String, queries: Seq[Query],
+                     k: Int, mode: Mode = And, nBuckets: Int = 32): DataFrame = {
+    import spark.implicits._
+    val handle = IndexHandle.open(spark, indexDir, nBuckets)
+    val stats = handle.stats
+    val termsPerQuery: Map[Long, Seq[String]] =
+      queries.map(q => q.query_id -> Tokenizer.tokens(q.text).distinct.toSeq).toMap
+    val allTerms = termsPerQuery.values.flatten.toSeq.distinct
+    val dict = handle.dfOf(allTerms)
+    val live = termsPerQuery.filter { case (_, ts) =>
+      ts.nonEmpty && (mode match {
+        case And => ts.forall(dict.contains)
+        case Or  => ts.exists(dict.contains)
+      })
+    }
+    if (live.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "query_id BIGINT, rank INT, doc_id BIGINT, score DOUBLE"))
+    val liveTerms = live.values.flatten.toSeq.distinct.filter(dict.contains)
+    val byTerm: Map[String, Array[graft.index.PostingBlock]] =
+      handle.blocksFor(liveTerms)
+        .select("term", "block_id", "doc_id_base", "doc_id_max", "num_docs",
+          "max_tf_norm", "doc_deltas", "tfs", "dls")
+        .as[PostingBlock].collect()
+        .groupBy(_.term).map { case (t, bs) => t -> bs.sortBy(_.doc_id_base) }
+    val wandMode = if (mode == And) Wand.And else Wand.Or
+    val rows = live.toSeq.flatMap { case (qid, ts) =>
+      val tbs = ts.filter(dict.contains).map { t =>
+        Wand.TermBlocks(t, Bm25.idf(stats.n_docs, dict(t)),
+          byTerm.getOrElse(t, Array.empty))
+      }
+      val (hits, _) = Wand.topK(tbs, k, stats.avgdl, wandMode)
+      hits.zipWithIndex.map { case (s, i) => (qid, i + 1, s.doc_id, s.score) }
+    }
+    rows.toDF("query_id", "rank", "doc_id", "score")
+  }
+
+  /** Distributed relational plan (decode -> join -> aggregate -> typed
+    * top-k); the path for posting volumes beyond the driver cap. */
+  def searchTopKRelational(spark: SparkSession, indexDir: String, queries: Seq[Query],
                  k: Int, mode: Mode = And, nBuckets: Int = 32): DataFrame = {
     import spark.implicits._
     val handle = IndexHandle.open(spark, indexDir, nBuckets)

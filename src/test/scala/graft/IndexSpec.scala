@@ -58,6 +58,36 @@ class IndexSpec extends SparkTestBase {
     assert(got.exists(_._1 == 1L) && got.exists(_._1 == 6L))
   }
 
+  test("WAND path and relational path produce identical rankings") {
+    val qs = sampleQueries
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val wand = rows(Searcher.searchTopKWand(spark, indexDir, qs, 10, Searcher.And, 8))
+    val rel = rows(Searcher.searchTopKRelational(spark, indexDir, qs, 10, Searcher.And, 8))
+    assert(wand == rel)
+    val wandOr = rows(Searcher.searchTopKWand(spark, indexDir, qs, 10, Searcher.Or, 8))
+    val relOr = rows(Searcher.searchTopKRelational(spark, indexDir, qs, 10, Searcher.Or, 8))
+    assert(wandOr == relOr)
+    assert(wandOr.nonEmpty)
+  }
+
+  test("posting block ranges are disjoint and sorted per term (WAND invariant)") {
+    import spark.implicits._
+    val byTerm = spark.read.parquet(s"$indexDir/postings")
+      .select($"term", $"doc_id_base", $"doc_id_max")
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    byTerm.foreach { case (t, bs) =>
+      val sorted = bs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, max1), (_, base2, _)) =>
+          assert(max1 < base2, s"term $t has overlapping blocks")
+        case _ =>
+      }
+    }
+    assert(byTerm.nonEmpty)
+  }
+
   test("docmeta sha256 matches source content per row (deindex invariant)") {
     val meta = spark.read.parquet(s"$indexDir/docmeta")
     val src = Builder.withDocIds(corpus)
