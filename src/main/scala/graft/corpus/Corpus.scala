@@ -20,6 +20,52 @@ object Corpus {
         substring(md5(col("text")), 1, 8).as("commit"),
         col("lang"),
         col("text").as("content"))
+
+  /** Alternate source format: JSON-lines with the corpus fields — the
+    * second-reader analog of the reference's rGFA importer
+    * (/root/reference/include/rgfa_parser.h): a different wire format
+    * funneled into the SAME CodeDoc schema. */
+  def fromJsonl(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("repo", StringType), StructField("path", StringType),
+      StructField("commit", StringType), StructField("lang", StringType),
+      StructField("content", StringType)))
+    spark.read.schema(schema).json(path)
+      .select("repo", "path", "commit", "lang", "content")
+  }
+
+  /** Write a corpus back out (the `.ging` writer analog,
+    * /root/reference/include/ging_parser.h:70-86); round-trip tested. */
+  def write(corpus: DataFrame, path: String): Unit =
+    corpus.select("repo", "path", "commit", "lang", "content")
+      .write.mode("overwrite").parquet(path)
+}
+
+/** Query-set readers — the `.ginq` analog
+  * (/root/reference/README.md:198-210: one query per line, `exit();`
+  * sentinel ends the stream). */
+object Queries {
+  val Sentinel = "exit();"
+
+  /** Read queries from a text file: one per line, stop at the sentinel,
+    * ids are 1-based line positions among kept lines. */
+  def fromFile(spark: SparkSession, path: String): Seq[graft.query.Searcher.Query] = {
+    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))).asScala
+    lines.iterator
+      .takeWhile(_.trim != Sentinel)
+      .filter(_.trim.nonEmpty)
+      .zipWithIndex
+      .map { case (l, i) => graft.query.Searcher.Query(i + 1L, l) }
+      .toSeq
+  }
+
+  /** Queries as a Dataset (for distributed batch querying). */
+  def toDF(spark: SparkSession, qs: Seq[graft.query.Searcher.Query]) = {
+    import spark.implicits._
+    qs.toDF("query_id", "text")
+  }
 }
 
 /** Deterministic synthetic code corpus for unit tests and benchmarks —

@@ -317,4 +317,23 @@ object Builder {
     import spark.implicits._
     spark.read.parquet(s"$indexDir/stats").as[Stats].head()
   }
+
+  /** Logical index equality — the `gin_gin_comp` analog
+    * (/root/reference/src/gin_gin.c:364-378): same stats, same
+    * dictionary, same decoded postings (block layout may differ). */
+  def indexEqual(spark: SparkSession, dirA: String, dirB: String): Boolean = {
+    import spark.implicits._
+    if (loadStats(spark, dirA) != loadStats(spark, dirB)) return false
+    def dict(d: String) = spark.read.parquet(s"$d/dictionary")
+      .select("term", "df", "cf")
+    if (dict(dirA).except(dict(dirB)).limit(1).count() != 0) return false
+    if (dict(dirB).except(dict(dirA)).limit(1).count() != 0) return false
+    def postings(d: String) = spark.read.parquet(s"$d/postings")
+      .select($"term", $"block_id", $"doc_id_base", $"doc_id_max", $"num_docs",
+        $"max_tf_norm", $"doc_deltas", $"tfs", $"dls")
+      .as[PostingBlock].flatMap(decodeBlock)
+      .select("term", "doc_id", "tf", "dl")
+    postings(dirA).except(postings(dirB)).limit(1).count() == 0 &&
+      postings(dirB).except(postings(dirA)).limit(1).count() == 0
+  }
 }

@@ -50,12 +50,14 @@ class IndexHandle private (
         .select("term", "df").as[(String, Long)].collect().toMap)
     } else None
 
-  /** Cap on postings bytes pinned in executor memory. Above it the
-    * handle serves blocks from parquet with bucket + term pushdown —
-    * at petabyte scale only the dictionary/stats are resident, exactly
-    * like the reference keeps the cache resident but the FMI on disk
-    * when too large. */
-  private val PersistCap = 8L << 30
+  /** Cap on postings bytes pinned in executor memory (configurable via
+    * `graft.postings.persistCap`). Above it the handle serves blocks
+    * from parquet with bucket + term pushdown — at petabyte scale only
+    * the dictionary/stats are resident, exactly like the reference keeps
+    * the cache resident but the FMI on disk when too large. */
+  private val PersistCap: Long =
+    spark.conf.getOption("graft.postings.persistCap")
+      .map(_.toLong).getOrElse(8L << 30)
 
   private def dirBytes(p: String): Long = {
     val root = new java.io.File(p)

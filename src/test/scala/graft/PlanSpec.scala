@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.corpus.Synth
+import graft.index.Builder
+import graft.query.{IndexHandle, Searcher}
+
+/** Physical-plan assertions: the optimizations we rely on at scale must
+  * actually appear in the executed plan (pushdown, pruning, broadcast,
+  * whole-stage codegen) — not just be intended. */
+class PlanSpec extends SparkTestBase {
+
+  private lazy val indexDir = {
+    val d = tmpDir("plan-idx")
+    Builder.build(spark, Synth.corpus(spark, 200, seed = 3L), d,
+      Builder.Config(blockSize = 16, nBuckets = 8, nSegments = 2, saltTarget = 60))
+    d
+  }
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("non-resident handle pushes term + bucket filters to parquet") {
+    // force the non-resident path
+    spark.conf.set("graft.postings.persistCap", "1")
+    val d2 = tmpDir("plan-idx2")
+    Builder.build(spark, Synth.corpus(spark, 120, seed = 4L), d2,
+      Builder.Config(blockSize = 16, nBuckets = 8, nSegments = 2, saltTarget = 60))
+    try {
+      val h = IndexHandle.open(spark, d2)
+      assert(!h.postingsResident)
+      val plan = planOf(h.blocksFor(Seq("id_0", "id_7")))
+      assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+        s"term filter not pushed:\n$plan")
+      // bucket is a partition (directory) column -> PartitionFilters
+      assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+        s"bucket partition pruning missing:\n$plan")
+      h.close()
+    } finally spark.conf.unset("graft.postings.persistCap")
+  }
+
+  test("resident handle serves blocks from InMemoryTableScan") {
+    val h = IndexHandle.open(spark, indexDir)
+    assert(h.postingsResident)
+    val plan = planOf(h.blocksFor(Seq("id_0")))
+    assert(plan.contains("InMemoryTableScan"), plan)
+  }
+
+  test("resolve join is a broadcast join, not a shuffle join") {
+    val topk = Searcher.searchTopK(spark, indexDir,
+      Seq(Searcher.Query(1, "id_0")), 5)
+    val plan = planOf(Searcher.resolve(spark, indexDir, topk))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("corpus scan prunes columns (never reads content for stats paths)") {
+    // docmeta read for resolve: only 4 columns requested
+    val h = IndexHandle.open(spark, indexDir)
+    val schema = h.docmeta.schema.fieldNames.toSeq
+    assert(schema == Seq("doc_id", "repo", "path", "commit"))
+  }
+
+  test("relational scorer: codegen'd hash aggregation + broadcast joins") {
+    val df = Searcher.searchTopKRelational(spark, indexDir,
+      Seq(Searcher.Query(1, "id_0 id_3")), 5)
+    df.collect() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    // scoring is partial+final hash aggregation (map-side combine)
+    assert(plan.contains("HashAggregate") && plan.contains("partial_sum"), plan)
+    // query terms + block-prune lists are broadcast, never shuffled
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the block scan stage itself is whole-stage codegen'd ("*(n)")
+    assert(plan.contains("*("), plan)
+  }
+}
