@@ -110,7 +110,7 @@ object Gate {
     import s.implicits._
     s.read.parquet(s"${indexDir(s, dir)}/postings")
       .select($"term", $"block_id", $"doc_id_base", $"doc_id_max",
-        $"num_docs", $"max_tf_norm", $"doc_deltas", $"tfs", $"dls")
+        $"num_docs", $"max_tf", $"min_dl", $"doc_deltas", $"tfs", $"dls")
       .as[graft.index.PostingBlock]
       .flatMap(Builder.decodeBlock)
       .select(col("term"), col("doc_id").cast("long"),

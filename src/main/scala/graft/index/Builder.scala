@@ -289,16 +289,17 @@ object Builder {
         val ids = new ArrayBuffer[Long](blockSize)
         val tfs = new ArrayBuffer[Int](blockSize)
         val dls = new ArrayBuffer[Int](blockSize)
-        var maxNorm = 0.0
+        var maxTf = 0
+        var minDl = Int.MaxValue
         while (in.hasNext && in.head._1.term == term && in.head._2 == key
             && ids.length < blockSize) {
           val (p, _) = in.next()
           ids += p.doc_id; tfs += p.tf; dls += p.dl
-          val n = Bm25.tfNorm(p.tf, p.dl, avgdl)
-          if (n > maxNorm) maxNorm = n
+          if (p.tf > maxTf) maxTf = p.tf
+          if (p.dl < minDl) minDl = p.dl
         }
         val b = PostingBlock(term, blockSeq, ids.head, ids.last, ids.length,
-          maxNorm, Codec.encodeDeltas(ids.toArray),
+          maxTf, minDl, Codec.encodeDeltas(ids.toArray),
           Codec.encodeInts(tfs.toArray), Codec.encodeInts(dls.toArray))
         blockSeq += 1
         b
@@ -330,7 +331,7 @@ object Builder {
     if (dict(dirB).except(dict(dirA)).limit(1).count() != 0) return false
     def postings(d: String) = spark.read.parquet(s"$d/postings")
       .select($"term", $"block_id", $"doc_id_base", $"doc_id_max", $"num_docs",
-        $"max_tf_norm", $"doc_deltas", $"tfs", $"dls")
+        $"max_tf", $"min_dl", $"doc_deltas", $"tfs", $"dls")
       .as[PostingBlock].flatMap(decodeBlock)
       .select("term", "doc_id", "tf", "dl")
     postings(dirA).except(postings(dirB)).limit(1).count() == 0 &&

@@ -40,7 +40,12 @@ case class PostingBlock(
     doc_id_base: Long,
     doc_id_max: Long,
     num_docs: Int,
-    max_tf_norm: Double, // max over entries of tf/(tf + k1*(1-b+b*dl/avgdl))
+    max_tf: Int,  // max term frequency in the block
+    min_dl: Int,  // min doc length in the block; tfNorm(max_tf, min_dl, avgdl)
+                  // upper-bounds every member score for ANY avgdl (tfNorm is
+                  // monotone in tf and anti-monotone in dl), so block-max
+                  // pruning stays exact when collection stats drift under
+                  // incremental ingest
     doc_deltas: Array[Byte],
     tfs: Array[Byte],
     dls: Array[Byte])

@@ -74,7 +74,7 @@ class IndexHandle private (
   val blocks: DataFrame = {
     val b = spark.read.parquet(s"$dir/postings")
       .select("term", "block_id", "doc_id_base", "doc_id_max", "num_docs",
-        "max_tf_norm", "doc_deltas", "tfs", "dls", "bucket")
+        "max_tf", "min_dl", "doc_deltas", "tfs", "dls", "bucket")
     if (postingsResident) {
       val p = b.persist(StorageLevel.MEMORY_AND_DISK)
       p.count() // materialize
@@ -83,12 +83,19 @@ class IndexHandle private (
   }
 
   /** docmeta projected to the resolve columns, persisted. */
+  private var docmetaLoaded = false
   lazy val docmeta: DataFrame = {
     val m = spark.read.parquet(s"$dir/docmeta")
       .select("doc_id", "repo", "path", "commit")
       .persist(StorageLevel.MEMORY_AND_DISK)
     m.count()
+    docmetaLoaded = true
     m
+  }
+
+  private[query] def release(): Unit = {
+    if (postingsResident) blocks.unpersist()
+    if (docmetaLoaded) docmeta.unpersist()
   }
 
   /** df per term for the given terms (absent term = absent key). */
@@ -117,8 +124,7 @@ class IndexHandle private (
         && col("term").isin(terms: _*))
 
   def close(): Unit = {
-    blocks.unpersist()
-    docmeta.unpersist()
+    release()
     IndexHandle.evict(spark, dir)
   }
 }
@@ -133,4 +139,11 @@ object IndexHandle {
 
   private[query] def evict(spark: SparkSession, dir: String): Unit =
     cache.remove((spark.sparkContext.applicationId, dir))
+
+  /** Drop the cached handle for `dir` (e.g. after incremental ingest
+    * appended segments); the next open() sees the new index state. */
+  def invalidate(spark: SparkSession, dir: String): Unit = {
+    val h = cache.remove((spark.sparkContext.applicationId, dir))
+    if (h != null) h.release()
+  }
 }

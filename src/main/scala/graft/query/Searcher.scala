@@ -89,7 +89,7 @@ object Searcher {
     val byTerm: Map[String, Array[graft.index.PostingBlock]] =
       handle.blocksFor(liveTerms)
         .select("term", "block_id", "doc_id_base", "doc_id_max", "num_docs",
-          "max_tf_norm", "doc_deltas", "tfs", "dls")
+          "max_tf", "min_dl", "doc_deltas", "tfs", "dls")
         .as[PostingBlock].collect()
         .groupBy(_.term).map { case (t, bs) => t -> bs.sortBy(_.doc_id_base) }
     val wandMode = if (mode == And) Wand.And else Wand.Or
@@ -146,7 +146,7 @@ object Searcher {
 
     val postings = blocks
       .select("term", "block_id", "doc_id_base", "doc_id_max", "num_docs",
-        "max_tf_norm", "doc_deltas", "tfs", "dls")
+        "max_tf", "min_dl", "doc_deltas", "tfs", "dls")
       .as[PostingBlock]
       .flatMap(Builder.decodeBlock)
 
@@ -200,7 +200,7 @@ object Searcher {
     val postings = IndexHandle.open(spark, indexDir, nBuckets)
       .blocksFor(allTerms)
       .select("term", "block_id", "doc_id_base", "doc_id_max", "num_docs",
-        "max_tf_norm", "doc_deltas", "tfs", "dls")
+        "max_tf", "min_dl", "doc_deltas", "tfs", "dls")
       .as[PostingBlock].flatMap(Builder.decodeBlock)
     val qt = termsPerQuery.toSeq.flatMap { case (qid, ts) =>
       ts.map(t => (qid, t, ts.size))

@@ -44,7 +44,8 @@ object Wand {
     /** Global upper bound of this term's contribution. */
     val termUB: Double =
       if (blocks.isEmpty) 0.0
-      else idf * (Bm25.K1 + 1.0) * blocks.map(_.max_tf_norm).max
+      else idf * (Bm25.K1 + 1.0) *
+        blocks.map(b => Bm25.tfNorm(b.max_tf, b.min_dl, avgdl)).max
 
     def exhausted: Boolean = bi >= blocks.length
 
@@ -56,7 +57,8 @@ object Wand {
     /** Upper bound of the current block's contribution. */
     def blockUB: Double =
       if (exhausted) 0.0
-      else idf * (Bm25.K1 + 1.0) * blocks(bi).max_tf_norm
+      else idf * (Bm25.K1 + 1.0) *
+        Bm25.tfNorm(blocks(bi).max_tf, blocks(bi).min_dl, avgdl)
 
     /** Smallest doc in the NEXT block (for BMW shallow advance). */
     def nextBlockDoc: Long =

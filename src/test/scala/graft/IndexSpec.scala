@@ -101,7 +101,7 @@ class IndexSpec extends SparkTestBase {
     import spark.implicits._
     val fromIndex = spark.read.parquet(s"$indexDir/postings")
       .select($"term", $"block_id", $"doc_id_base", $"doc_id_max", $"num_docs",
-        $"max_tf_norm", $"doc_deltas", $"tfs", $"dls")
+        $"max_tf", $"min_dl", $"doc_deltas", $"tfs", $"dls")
       .as[graft.index.PostingBlock]
       .flatMap(Builder.decodeBlock)
       .groupBy("doc_id").agg(sum("tf").as("sum_tf"))

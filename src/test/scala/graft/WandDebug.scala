@@ -23,7 +23,7 @@ object WandDebug {
     val handle = IndexHandle.open(spark, dir, 8)
     val byTerm = handle.blocksFor(terms)
       .select("term", "block_id", "doc_id_base", "doc_id_max", "num_docs",
-        "max_tf_norm", "doc_deltas", "tfs", "dls")
+        "max_tf", "min_dl", "doc_deltas", "tfs", "dls")
       .as[PostingBlock].collect().groupBy(_.term)
       .map { case (t, bs) => t -> bs.sortBy(_.doc_id_base) }
     terms.foreach { t =>
