@@ -137,8 +137,43 @@ object Bench {
       def pct(p: Double) =
         lat(math.min(lat.length - 1, (p * lat.length).toInt))
 
-      // compression: payload bytes per posting vs a 12-byte raw row
+      // batch query throughput — the reference protocol measures
+      // queries/sec over a large generated set sampled from real content
+      // (/root/reference/benchmark/scripts/gin_run.sh:18: 65,536 queries;
+      // scaled down to keep the round inside its budget)
+      val nBatch = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "512").toInt
+      val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
       import spark.implicits._
+      val sample = docsDf.as[(Long, String)].take(256)
+      val batchQueries = (0 until nBatch).map { i =>
+        val (_, text) = sample(i % sample.length)
+        val toks = graft.index.Tokenizer.tokens(text)
+        val n = 1 + (i % 3)
+        val terms = (0 until n).map(j => toks((i * 7 + j * 13) % toks.length))
+        Searcher.Query(i.toLong, terms.mkString(" "))
+      }
+      Searcher.lastStats.clear()
+      val (_, wandSecs) = time {
+        // serving loop: one WAND evaluation per query (warm handle)
+        batchQueries.grouped(64).foreach { g =>
+          Searcher.searchTopKWand(spark, idxDir, g, 10).count()
+        }
+      }
+      val (_, relSecs) = time {
+        Searcher.searchTopKRelational(spark, idxDir, batchQueries, 10).count()
+      }
+      val wandQps = nBatch / wandSecs
+      val relQps = nBatch / relSecs
+      // WAND work counters (blocks skipped without decoding)
+      val statsList = scala.jdk.CollectionConverters
+        .CollectionHasAsScala(Searcher.lastStats.values()).asScala.toSeq
+      val decodedFrac =
+        if (statsList.isEmpty) 1.0
+        else statsList.map(_.blocksDecoded).sum.toDouble /
+          math.max(1L, statsList.map(_.blocksTotal.toLong).sum)
+
+      // compression: payload bytes per posting vs a 12-byte raw row
       val (payloadBytes, nPostings) = spark.read.parquet(s"$idxDir/postings")
         .agg(
           sum(octet_length($"doc_deltas") + octet_length($"tfs") +
@@ -147,9 +182,10 @@ object Bench {
         .as[(Double, Long)].head()
 
       (buildGateSecs, nGateDocs, queryTimes, pct(0.5), pct(0.95),
-        payloadBytes / nPostings)
+        payloadBytes / nPostings, wandQps, relQps, decodedFrac, nBatch)
     }
-    val (buildGateSecs, nGateDocs, queryTimes, p50, p95, bpp) = result
+    val (buildGateSecs, nGateDocs, queryTimes, p50, p95, bpp,
+      wandQps, relQps, decodedFrac, nBatch) = result
 
     val qJson = queryTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
       .mkString("{", ",", "}")
@@ -165,6 +201,10 @@ object Bench {
       s""""gate_build_secs":${f"$buildGateSecs%.3f"},""" +
       s""""gate_docs":$nGateDocs,""" +
       s""""query_p50_ms":${f"$p50%.1f"},"query_p95_ms":${f"$p95%.1f"},""" +
+      s""""batch_queries":$nBatch,""" +
+      s""""wand_queries_per_sec":${f"$wandQps%.1f"},""" +
+      s""""relational_batch_queries_per_sec":${f"$relQps%.1f"},""" +
+      s""""wand_blocks_decoded_frac":${f"$decodedFrac%.3f"},""" +
       s""""bytes_per_posting":${f"$bpp%.3f"},"raw_bytes_per_posting":12}""")
   }
 }

@@ -98,6 +98,10 @@ class IndexHandle private (
     if (docmetaLoaded) docmeta.unpersist()
   }
 
+  /** Head-term result cache (present only if HeadCache.build ran). */
+  lazy val headCache: (Map[String, Seq[Scored]], Int) =
+    HeadCache.load(spark, dir)
+
   /** df per term for the given terms (absent term = absent key). */
   def dfOf(terms: Seq[String]): Map[String, Long] = dictInMemory match {
     case Some(m) => terms.flatMap(t => m.get(t).map(t -> _)).toMap

@@ -45,6 +45,10 @@ object Searcher {
     * plan instead of the driver-local WAND loop. */
   val WandDfCap = 5000000L
 
+  /** Per-query work counters from the last WAND invocation — the
+    * reference's per-query stats (gin.c:1118-1151). Keyed by query_id. */
+  val lastStats = new java.util.concurrent.ConcurrentHashMap[Long, Wand.QueryStats]()
+
   /** Top-k search over a built index — dispatcher.
     * Small posting volume (Σ df of the query's terms <= WandDfCap): the
     * exact block-max WAND loop over collected (still-compressed) blocks —
@@ -85,20 +89,34 @@ object Searcher {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "query_id BIGINT, rank INT, doc_id BIGINT, score DOUBLE"))
-    val liveTerms = live.values.flatten.toSeq.distinct.filter(dict.contains)
+    // head-cache fast path (Q9/Q10 analog): single-term queries on
+    // cached head terms are answered without touching postings
+    val (cacheMap, cacheK) = handle.headCache
+    val (cachedQs, liveQs) = live.partition { case (_, ts) =>
+      val present = ts.filter(dict.contains)
+      present.size == 1 && k <= cacheK && cacheMap.contains(present.head)
+    }
+    val cachedRows = cachedQs.toSeq.flatMap { case (qid, ts) =>
+      cacheMap(ts.filter(dict.contains).head).take(k).zipWithIndex
+        .map { case (s, i) => (qid, i + 1, s.doc_id, s.score) }
+    }
+
+    val liveTerms = liveQs.values.flatten.toSeq.distinct.filter(dict.contains)
     val byTerm: Map[String, Array[graft.index.PostingBlock]] =
-      handle.blocksFor(liveTerms)
+      if (liveTerms.isEmpty) Map.empty
+      else handle.blocksFor(liveTerms)
         .select("term", "block_id", "doc_id_base", "doc_id_max", "num_docs",
           "max_tf", "min_dl", "doc_deltas", "tfs", "dls")
         .as[PostingBlock].collect()
         .groupBy(_.term).map { case (t, bs) => t -> bs.sortBy(_.doc_id_base) }
     val wandMode = if (mode == And) Wand.And else Wand.Or
-    val rows = live.toSeq.flatMap { case (qid, ts) =>
+    val rows = cachedRows ++ liveQs.toSeq.flatMap { case (qid, ts) =>
       val tbs = ts.filter(dict.contains).map { t =>
         Wand.TermBlocks(t, Bm25.idf(stats.n_docs, dict(t)),
           byTerm.getOrElse(t, Array.empty))
       }
-      val (hits, _) = Wand.topK(tbs, k, stats.avgdl, wandMode)
+      val (hits, qstats) = Wand.topK(tbs, k, stats.avgdl, wandMode)
+      lastStats.put(qid, qstats)
       hits.zipWithIndex.map { case (s, i) => (qid, i + 1, s.doc_id, s.score) }
     }
     rows.toDF("query_id", "rank", "doc_id", "score")

@@ -72,6 +72,24 @@ class IndexSpec extends SparkTestBase {
     assert(wandOr.nonEmpty)
   }
 
+  test("head cache: cached single-term results identical to live search") {
+    import graft.query.{HeadCache, IndexHandle}
+    // build cache over head terms of the shared index
+    graft.query.HeadCache.build(spark, indexDir, minDf = 100, k = 10)
+    val handle = IndexHandle.open(spark, indexDir, 8)
+    val (cacheMap, cacheK) = handle.headCache
+    assert(cacheMap.nonEmpty && cacheK == 10)
+    assert(cacheMap.contains("id_0")) // df ~ 300 of 400
+    val qs = Seq(Query(1, "id_0"), Query(2, "id_1"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    // cached WAND path vs relational (never cache-served) must agree
+    val cached = rows(Searcher.searchTopKWand(spark, indexDir, qs, 10, Searcher.And, 8))
+    val rel = rows(Searcher.searchTopKRelational(spark, indexDir, qs, 10, Searcher.And, 8))
+    assert(cached == rel)
+  }
+
   test("posting block ranges are disjoint and sorted per term (WAND invariant)") {
     import spark.implicits._
     val byTerm = spark.read.parquet(s"$indexDir/postings")
