@@ -21,7 +21,16 @@ object Gate {
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def gateConfig: Builder.Config =
-    Builder.Config(blockSize = 128, nBuckets = 16, nSegments = 4, saltTarget = 200)
+    Builder.Config(blockSize = 128, nBuckets = 16, nSegments = 4,
+      saltTarget = 200, storePositions = true)
+
+  /** Fixed phrase query set (exact adjacency; q_phrase). */
+  val GatePhrases: Seq[Searcher.Query] = Seq(
+    Searcher.Query(1, "merge join"),
+    Searcher.Query(2, "table scan"),
+    Searcher.Query(3, "batch batch"), // repeated adjacent term
+    Searcher.Query(4, "slow window group"),
+    Searcher.Query(5, "merge nosuchterm_zz"))
 
   def indexDir(spark: SparkSession, sfDir: String): String =
     built.computeIfAbsent(sfDir, { _ =>
@@ -51,6 +60,9 @@ object Gate {
 
   private val QtValuesSql: String = qtRows
     .map { case (q, t, n) => s"($q, '$t', $n)" }.mkString(", ")
+
+  private val PhValuesSql: String = GatePhrases
+    .map(q => s"(${q.query_id}, '${q.text}')").mkString(", ")
 
   // ---- shared SQL prelude (DuckDB): identical corpus mapping,
   //      docID assignment, tokenizer, postings, dict, stats -------------
@@ -130,6 +142,11 @@ object Gate {
       .select(col("query_id").cast("long"), col("rank").cast("long"),
         col("doc_id").cast("long"), col("score"), col("repo"), col("path"),
         col("commit"))
+
+  def qPhrase(s: SparkSession, dir: String): DataFrame =
+    graft.query.Phrase.searchTopK(s, indexDir(s, dir), GatePhrases, 10)
+      .select(col("query_id").cast("long"), col("rank").cast("long"),
+        col("doc_id").cast("long"), col("score"))
 
   def qMatchCount(s: SparkSession, dir: String): DataFrame =
     Searcher.countMatches(s, indexDir(s, dir), GateQueries,
@@ -243,6 +260,39 @@ object Gate {
       """SELECT r.query_id, r.rank, r.doc_id, r.score,
                i.repo, i.path, i.commit_id AS "commit"
          FROM ranked r JOIN ids i USING (doc_id) WHERE r.rank <= 5"""),
+
+    "q_phrase" -> s"""$Prelude,
+      ph(query_id, phrase) AS (VALUES $PhValuesSql),
+      phn AS (SELECT query_id, phrase, string_split(phrase, ' ') AS pts FROM ph),
+      pt AS (SELECT DISTINCT query_id, unnest(pts) AS term FROM phn),
+      tl AS (SELECT doc_id, list_filter(string_split_regex(lower(content),
+               '[^a-z0-9_]+'), x -> x <> '') AS t
+             FROM ids),
+      matched AS (
+        SELECT p.query_id, d.doc_id
+        FROM phn p, tl d
+        WHERE len(d.t) >= len(p.pts)
+          AND list_contains(
+            list_transform(range(len(d.t) - len(p.pts) + 1),
+              i -> array_to_string(d.t[i+1 : i+len(p.pts)], ' ')),
+            p.phrase)),
+      scoredp AS (
+        SELECT q.query_id, p.doc_id,
+          sum(ln(1 + (s.n_docs - dd.df + 0.5) / (dd.df + 0.5)) * 2.2 * p.tf /
+              (p.tf + 1.2 * (0.25 + 0.75 * i.dl / s.avgdl))) AS raw
+        FROM pt q
+        JOIN dict dd USING (term)
+        JOIN postings p USING (term)
+        JOIN ids i USING (doc_id)
+        JOIN matched m ON m.query_id = q.query_id AND m.doc_id = p.doc_id
+        CROSS JOIN stats s
+        GROUP BY 1, 2),
+      rankedp AS (
+        SELECT query_id, doc_id, round(raw, 6) AS score,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(raw, 6) DESC, doc_id) AS rank
+        FROM scoredp)
+      SELECT query_id, rank, doc_id, score FROM rankedp WHERE rank <= 10""",
 
     "q_match_count" -> s"""$Prelude,
       counts AS (
@@ -407,6 +457,7 @@ object Gate {
     "q_postings" -> (qPostings _),
     "q_topk_bm25" -> (qTopkBm25 _),
     "q_topk_resolved" -> (qTopkResolved _),
+    "q_phrase" -> (qPhrase _),
     "q_match_count" -> (qMatchCount _),
     "q_boolean_and" -> (qBooleanAnd _),
     "q_spectrum_bigram" -> (qSpectrumBigram _),

@@ -42,7 +42,8 @@ object Builder {
       nBuckets: Int = 32,
       nSegments: Int = 4,
       saltTarget: Int = 50000, // max postings of one term per salt bucket
-      shufflePartitions: Int = 0) // 0 = leave session value
+      shufflePartitions: Int = 0, // 0 = leave session value
+      storePositions: Boolean = false) // also write positions/ (phrases)
 
   private val TokenSep = "[^a-z0-9_]+"
 
@@ -193,6 +194,42 @@ object Builder {
         .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(rawDir)
       commit(outDir, "_COMMIT_postings_raw")
     }
+
+    // ---- stage 3b (optional): positions table for phrase queries ------
+    // Separate table (Lucene keeps positions in their own file too): the
+    // core index stays position-free; phrase evaluation joins this in for
+    // the candidate docs only.
+    if (conf.storePositions && !committed(outDir, "_COMMIT_positions"))
+      timed("positions") {
+        corpusIds("doc_id", "content")
+          .as[(Long, String)]
+          .flatMap { case (id, content) =>
+            val ts = Tokenizer.tokens(content)
+            val m = new java.util.HashMap[String, ArrayBuffer[Int]](64)
+            var i = 0
+            while (i < ts.length) {
+              m.computeIfAbsent(ts(i), _ => new ArrayBuffer[Int](4)) += i
+              i += 1
+            }
+            val out = new Array[(String, Long, Int, Array[Byte])](m.size)
+            val it = m.entrySet().iterator()
+            var j = 0
+            while (it.hasNext) {
+              val e = it.next()
+              val ps = e.getValue.toArray
+              out(j) = (e.getKey, id, ps.length,
+                Codec.encodeDeltas(ps.map(_.toLong)))
+              j += 1
+            }
+            out
+          }
+          .toDF("term", "doc_id", "n_pos", "pos_deltas")
+          .withColumn("bucket", bucketOf(col("term"), conf.nBuckets))
+          .repartition(nPart, col("bucket"))
+          .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+          .parquet(s"$outDir/positions")
+        commit(outDir, "_COMMIT_positions")
+      }
 
     // ---- stage 4: dictionary -----------------------------------------
     if (!committed(outDir, "_COMMIT_dictionary")) timed("dictionary") {

@@ -1,0 +1,120 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.index.{Bm25, Builder, Codec, Tokenizer}
+
+/** Phrase (exact adjacency) search over the optional positions table —
+  * the walk-decoding analog (/root/reference/src/gin_encoded_graph.c:
+  * 375-449 re-spells a matched string's path through the graph; here a
+  * phrase match re-checks token adjacency inside the document).
+  *
+  * Evaluation: conjunctive candidates from the normal index (cheap,
+  * pruned), then a positions join restricted to those candidates, then a
+  * per-doc adjacency check (∃p: term_i at p+i for all i). Verified docs
+  * are BM25-scored over the phrase's distinct terms — so ranking is
+  * consistent with the rest of the engine and reproducible in SQL
+  * (phrase containment = k-gram membership for the oracle).
+  */
+object Phrase {
+
+  /** Top-k docs containing each phrase exactly.
+    * Requires the index to be built with storePositions=true.
+    * Returns (query_id, rank, doc_id, score). */
+  def searchTopK(spark: SparkSession, indexDir: String,
+                 phrases: Seq[Searcher.Query], k: Int): DataFrame = {
+    import spark.implicits._
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(indexDir, "_COMMIT_positions")),
+      s"index at $indexDir was built without storePositions=true")
+    val handle = IndexHandle.open(spark, indexDir)
+    val stats = handle.stats
+
+    // ordered term lists (duplicates meaningful for adjacency)
+    val seqPerQuery: Map[Long, Seq[String]] =
+      phrases.map(q => q.query_id -> Tokenizer.tokens(q.text).toSeq).toMap
+    val distinctPerQuery = seqPerQuery.map { case (q, ts) => q -> ts.distinct }
+    val allTerms = distinctPerQuery.values.flatten.toSeq.distinct
+    val dict = handle.dfOf(allTerms)
+    val live = seqPerQuery.filter { case (_, ts) =>
+      ts.nonEmpty && ts.forall(dict.contains)
+    }
+    val emptyOut = Seq.empty[(Long, Int, Long, Double)]
+      .toDF("query_id", "rank", "doc_id", "score")
+    if (live.isEmpty) return emptyOut
+
+    // conjunctive candidates from the core index
+    val candidates = Searcher.searchCandidates(spark, indexDir,
+      phrases.filter(q => live.contains(q.query_id)))
+
+    // positions for the candidate docs' terms
+    val liveTerms = live.keys.flatMap(distinctPerQuery).toSeq.distinct
+    val positions = spark.read.parquet(s"$indexDir/positions")
+      .filter(col("bucket").isin(
+        liveTerms.map(t => graft.util.Hashing.bucketOf(t, handle.nBuckets))
+          .distinct: _*)
+        && col("term").isin(liveTerms: _*))
+      .select("term", "doc_id", "n_pos", "pos_deltas")
+
+    val seqB = spark.sparkContext.broadcast(live)
+    val verified = candidates
+      .join(positions.hint("shuffle_hash"), "doc_id")
+      .select($"query_id", $"doc_id", $"term", $"n_pos", $"pos_deltas")
+      .as[(Long, Long, String, Int, Array[Byte])]
+      .groupByKey(r => (r._1, r._2))
+      .mapGroups { (key: (Long, Long), it: Iterator[(Long, Long, String, Int, Array[Byte])]) =>
+        val (qid, docId) = key
+        val posByTerm = it.map { case (_, _, t, n, bytes) =>
+          t -> Codec.decodeDeltas(bytes, n)
+        }.toMap
+        val terms = seqB.value(qid)
+        val ok = terms.forall(posByTerm.contains) && {
+          val first = posByTerm(terms.head)
+          first.exists { p =>
+            var i = 1
+            var good = true
+            while (good && i < terms.length) {
+              good = java.util.Arrays.binarySearch(posByTerm(terms(i)), p + i) >= 0
+              i += 1
+            }
+            good
+          }
+        }
+        (qid, docId, ok)
+      }
+      .filter(_._3)
+      .map(r => (r._1, r._2))
+      .toDF("query_id", "doc_id")
+
+    // BM25 score the verified docs over the phrase's distinct terms
+    val qt = live.keys.toSeq.flatMap { qid =>
+      distinctPerQuery(qid).map(t =>
+        (qid, t, Bm25.idf(stats.n_docs, dict(t))))
+    }.toDF("query_id", "term", "idf")
+    val postings = handle.blocksFor(liveTerms)
+      .select("term", "block_id", "doc_id_base", "doc_id_max", "num_docs",
+        "max_tf", "min_dl", "doc_deltas", "tfs", "dls")
+      .as[graft.index.PostingBlock]
+      .flatMap(Builder.decodeBlock)
+    val scored = postings.join(broadcast(qt), "term")
+      .join(verified, Seq("query_id", "doc_id"), "left_semi")
+      .withColumn("contrib",
+        col("idf") * lit(Bm25.K1 + 1.0) * col("tf") /
+          (col("tf") + lit(Bm25.K1) *
+            (lit(1 - Bm25.B) + lit(Bm25.B) * col("dl") / lit(stats.avgdl))))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("contrib").as("raw"))
+      .withColumn("score", round(col("raw"), 6))
+      .select("query_id", "doc_id", "score")
+
+    val topk = new TopKAgg(k)
+    scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => Scored(r._2, r._3))
+      .agg(topk.toColumn.name("topk"))
+      .flatMap { case (qid, hits) =>
+        hits.zipWithIndex.map { case (s, i) => (qid, i + 1, s.doc_id, s.score) }
+      }
+      .toDF("query_id", "rank", "doc_id", "score")
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.corpus.Synth
+import graft.index.{Builder, Tokenizer}
+import graft.query.{Phrase, Searcher}
+
+/** Phrase (adjacency) search vs a plain-Scala sliding-window oracle. */
+class PhraseSpec extends SparkTestBase {
+
+  private lazy val corpus = Synth.corpus(spark, 300, seed = 9L).cache()
+  private lazy val indexDir = {
+    val d = tmpDir("phrase-idx")
+    Builder.build(spark, corpus, d,
+      Builder.Config(blockSize = 32, nBuckets = 8, nSegments = 2,
+        saltTarget = 60, storePositions = true))
+    d
+  }
+
+  test("phrase matches == sliding-window oracle; ranking consistent") {
+    import spark.implicits._
+    // pick real adjacent token pairs/triples from documents
+    val t50 = Tokenizer.tokens(Synth.doc(9L, 50L).content)
+    val t7 = Tokenizer.tokens(Synth.doc(9L, 7L).content)
+    val phrases = Seq(
+      Searcher.Query(1, s"${t50(3)} ${t50(4)}"),
+      Searcher.Query(2, s"${t7(0)} ${t7(1)} ${t7(2)}"),
+      Searcher.Query(3, s"${t50(0)} zz_nonexistent"),
+      Searcher.Query(4, t50(10))) // single term phrase = term query
+    val got = Phrase.searchTopK(spark, indexDir, phrases, 10)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(2))) // (query, doc)
+
+    // oracle: docs whose token stream contains the phrase
+    val docs = Builder.withDocIds(corpus)
+      .select($"doc_id", $"content").as[(Long, String)].collect()
+    def matches(phrase: String): Set[Long] = {
+      val pts = Tokenizer.tokens(phrase).toSeq
+      docs.filter { case (_, c) =>
+        val ts = Tokenizer.tokens(c).toSeq
+        ts.length >= pts.length && ts.sliding(pts.length).contains(pts)
+      }.map(_._1).toSet
+    }
+    val byQ = got.groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    phrases.foreach { q =>
+      val want = matches(q.text)
+      val gotDocs = byQ.getOrElse(q.query_id, Set.empty)
+      if (want.size <= 10) assert(gotDocs == want, s"query ${q.query_id}")
+      else assert(gotDocs.subsetOf(want) && gotDocs.size == 10, s"query ${q.query_id}")
+    }
+    assert(!byQ.contains(3L)) // nonexistent term -> no rows
+    // single-term phrase == single-term AND search
+    val single = Searcher.searchTopK(spark, indexDir,
+      Seq(phrases(3)), 10).collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toSet
+    val phraseSingle = Phrase.searchTopK(spark, indexDir,
+      Seq(phrases(3)), 10).collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toSet
+    assert(single == phraseSingle)
+  }
+}

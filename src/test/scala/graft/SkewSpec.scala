@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.index.{Builder, CodeDoc}
+
+/** Skew handling (north rule): a term present in EVERY doc must not
+  * create a hot shuffle partition — salting splits it into doc-range
+  * groups keyed by hash(term, salt). */
+class SkewSpec extends SparkTestBase {
+
+  private def skewedCorpus(n: Int) = {
+    import spark.implicits._
+    // "hot" appears in every doc; tail terms are per-doc unique
+    (0 until n).map { i =>
+      CodeDoc(f"repo_${i / 40}%04d", f"f_$i%05d.py", f"c$i%07d", "py",
+        s"hot hot hot uniq_$i other_${i % 7}")
+    }.toDF()
+  }
+
+  test("salted build splits the hot term across many partitions") {
+    import spark.implicits._
+    val n = 2000
+    val salted = tmpDir("skew-salted")
+    Builder.build(spark, skewedCorpus(n), salted,
+      Builder.Config(blockSize = 64, nBuckets = 8, nSegments = 1,
+        saltTarget = 200, shufflePartitions = 8))
+    // every 'hot' block covers <= saltTarget-ish docs; block doc-spans
+    // bounded by the salt span => many disjoint blocks, not one giant run
+    val hotBlocks = spark.read.parquet(s"$salted/postings")
+      .filter($"term" === "hot")
+      .select($"doc_id_base", $"doc_id_max", $"num_docs")
+      .as[(Long, Long, Int)].collect()
+    assert(hotBlocks.map(_._3).sum == n)
+    val nSalts = math.ceil(n / 200.0).toInt
+    val span = math.ceil(n.toDouble / nSalts).toLong
+    // no block spans a salt boundary
+    hotBlocks.foreach { case (base, max, _) =>
+      assert(base / span == max / span, s"block [$base,$max] crosses salt span $span")
+    }
+    // the hot term's postings actually landed in multiple shuffle
+    // partitions (files), unlike an unsalted build
+    def filesWithHot(dir: String): Int =
+      new java.io.File(s"$dir/postings/segment=0").listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+        .count { f =>
+          !spark.read.parquet(f.getPath).filter($"term" === "hot").isEmpty
+        }
+    val unsalted = tmpDir("skew-unsalted")
+    Builder.build(spark, skewedCorpus(n), unsalted,
+      Builder.Config(blockSize = 64, nBuckets = 8, nSegments = 1,
+        saltTarget = 1000000, shufflePartitions = 8))
+    assert(filesWithHot(salted) >= 4, s"salted spread: ${filesWithHot(salted)}")
+    assert(filesWithHot(unsalted) == 1)
+    // and queries over the salted layout remain correct
+    val hits = graft.query.Searcher.searchTopK(spark, salted,
+      Seq(graft.query.Searcher.Query(1, "hot uniq_55")), 5)
+      .collect()
+    assert(hits.length == 1)
+  }
+}
