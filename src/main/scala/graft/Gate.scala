@@ -121,10 +121,10 @@ object Gate {
   def qPostings(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     s.read.parquet(s"${indexDir(s, dir)}/postings")
-      .select($"term", $"block_id", $"doc_id_base", $"doc_id_max",
-        $"num_docs", $"max_tf", $"min_dl", $"doc_deltas", $"tfs", $"dls")
-      .as[graft.index.PostingBlock]
-      .flatMap(Builder.decodeBlock)
+      .select(col("term"),
+        graft.functions.DecodePostings.rows(col("num_docs"),
+          col("doc_deltas"), col("tfs"), col("dls"))
+          .as(Seq("doc_id", "tf", "dl")))
       .select(col("term"), col("doc_id").cast("long"),
         col("tf").cast("long").as("tf"))
   }
@@ -142,6 +142,12 @@ object Gate {
       .select(col("query_id").cast("long"), col("rank").cast("long"),
         col("doc_id").cast("long"), col("score"), col("repo"), col("path"),
         col("commit"))
+
+  def qTopkOr(s: SparkSession, dir: String): DataFrame =
+    Searcher.searchTopK(s, indexDir(s, dir), GateQueries, 10,
+        Searcher.Or, nBuckets = gateConfig.nBuckets)
+      .select(col("query_id").cast("long"), col("rank").cast("long"),
+        col("doc_id").cast("long"), col("score"))
 
   def qPhrase(s: SparkSession, dir: String): DataFrame =
     graft.query.Phrase.searchTopK(s, indexDir(s, dir), GatePhrases, 10)
@@ -255,6 +261,10 @@ object Gate {
 
     "q_topk_bm25" -> topkSql(10,
       "SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10"),
+
+    "q_topk_or" -> topkSql(10,
+      "SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10",
+      conj = false),
 
     "q_topk_resolved" -> topkSql(5,
       """SELECT r.query_id, r.rank, r.doc_id, r.score,
@@ -428,7 +438,9 @@ object Gate {
 
   /** Shared BM25 top-k SQL (DuckDB): identical formula shape to the
     * engine's column expression. */
-  private def topkSql(k: Int, select: String): String = s"""$Prelude,
+  private def topkSql(k: Int, select: String, conj: Boolean = true): String = {
+    val filter = if (conj) "nmatch = n_terms" else "nmatch >= 1"
+    s"""$Prelude,
     scored AS (
       SELECT q.query_id, p.doc_id,
              sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * 2.2 * p.tf /
@@ -444,8 +456,9 @@ object Gate {
       SELECT query_id, doc_id, round(raw, 6) AS score,
              row_number() OVER (PARTITION BY query_id
                ORDER BY round(raw, 6) DESC, doc_id) AS rank
-      FROM scored WHERE nmatch = n_terms)
+      FROM scored WHERE $filter)
     $select"""
+  }
 
   /** name -> Spark implementation. Keys with no `oracle` entry get the
     * driver's weaker rows-only check (probabilistic/LSH/stub operators). */
@@ -457,6 +470,7 @@ object Gate {
     "q_postings" -> (qPostings _),
     "q_topk_bm25" -> (qTopkBm25 _),
     "q_topk_resolved" -> (qTopkResolved _),
+    "q_topk_or" -> (qTopkOr _),
     "q_phrase" -> (qPhrase _),
     "q_match_count" -> (qMatchCount _),
     "q_boolean_and" -> (qBooleanAnd _),

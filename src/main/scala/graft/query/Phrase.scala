@@ -91,11 +91,10 @@ object Phrase {
       distinctPerQuery(qid).map(t =>
         (qid, t, Bm25.idf(stats.n_docs, dict(t))))
     }.toDF("query_id", "term", "idf")
-    val postings = handle.blocksFor(liveTerms)
-      .select("term", "block_id", "doc_id_base", "doc_id_max", "num_docs",
-        "max_tf", "min_dl", "doc_deltas", "tfs", "dls")
-      .as[graft.index.PostingBlock]
-      .flatMap(Builder.decodeBlock)
+    val postings = handle.blocksFor(liveTerms).select(col("term"),
+        graft.functions.DecodePostings.rows(col("num_docs"),
+          col("doc_deltas"), col("tfs"), col("dls"))
+          .as(Seq("doc_id", "tf", "dl")))
     val scored = postings.join(broadcast(qt), "term")
       .join(verified, Seq("query_id", "doc_id"), "left_semi")
       .withColumn("contrib",

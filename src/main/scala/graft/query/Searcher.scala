@@ -162,11 +162,12 @@ object Searcher {
     // must lie in every term's covered doc ranges
     val blocks = if (mode == And) pruneBlocks(spark, blocks0, live, dict) else blocks0
 
-    val postings = blocks
-      .select("term", "block_id", "doc_id_base", "doc_id_max", "num_docs",
-        "max_tf", "min_dl", "doc_deltas", "tfs", "dls")
-      .as[PostingBlock]
-      .flatMap(Builder.decodeBlock)
+    // native generator decode: binary block columns -> posting rows,
+    // no case-class encoder round-trip
+    val postings = blocks.select(col("term"),
+        graft.functions.DecodePostings.rows(col("num_docs"),
+          col("doc_deltas"), col("tfs"), col("dls"))
+          .as(Seq("doc_id", "tf", "dl")))
 
     val qtDf = broadcast(qterms.toDF())
     val needAll = mode == And
@@ -216,10 +217,10 @@ object Searcher {
     if (allTerms.isEmpty)
       return Seq.empty[(Long, Long)].toDF("query_id", "doc_id")
     val postings = IndexHandle.open(spark, indexDir, nBuckets)
-      .blocksFor(allTerms)
-      .select("term", "block_id", "doc_id_base", "doc_id_max", "num_docs",
-        "max_tf", "min_dl", "doc_deltas", "tfs", "dls")
-      .as[PostingBlock].flatMap(Builder.decodeBlock)
+      .blocksFor(allTerms).select(col("term"),
+        graft.functions.DecodePostings.rows(col("num_docs"),
+          col("doc_deltas"), col("tfs"), col("dls"))
+          .as(Seq("doc_id", "tf", "dl")))
     val qt = termsPerQuery.toSeq.flatMap { case (qid, ts) =>
       ts.map(t => (qid, t, ts.size))
     }.toDF("query_id", "term", "n_terms")
