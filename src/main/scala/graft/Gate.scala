@@ -24,6 +24,62 @@ object Gate {
     Builder.Config(blockSize = 128, nBuckets = 16, nSegments = 4,
       saltTarget = 200, storePositions = true)
 
+  // ---- cross-engine op parameters: used by the Spark implementations
+  //      AND spliced verbatim into the oracle SQL, so both engines
+  //      compute the identical function -------------------------------
+  val MaxShingleDf = 10000L   // near-dup: drop non-discriminative shingles
+  val MinhashN = 32           // minhash permutations
+  val MinhashBands = 8        // LSH bands (rows = MinhashN / MinhashBands)
+  val MinhashMaxBucket = 1000L // skip degenerate mega-buckets
+  val LshPlanes = 4           // hyperplanes per ANN hash table
+  val LshTables = 24          // OR-ed ANN hash tables (band-OR recall)
+  val LshDims = 64            // embedding dimensionality
+
+  private def H60(e: String): String = graft.util.CrossHash.h60Sql(e)
+
+  /** Shared tokenized-documents CTE (DuckDB) — same tokenizer as Spark. */
+  private val TlCte =
+    """tl AS (SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+      |           x -> x <> '') AS t
+      |       FROM documents)""".stripMargin
+
+  /** Minhash affine coefficients as SQL VALUES — generated from the SAME
+    * CrossHash.minhashCoeff the Spark Aggregator uses. */
+  private val MinhashCoeffSql: String = (0 until MinhashN).map { i =>
+    val (a, b) = graft.util.CrossHash.minhashCoeff(i)
+    s"($i, $a, $b)"
+  }.mkString(", ")
+
+  /** Shared LSH CTEs (DuckDB): integer plane weights from h60 of the same
+    * tag strings Ann.planeWeight uses; embeddings quantized floor(v·1e6);
+    * projections/buckets in exact BIGINT arithmetic — bit-identical to
+    * the Spark side. Also exposes ex/norms for exact-cosine re-ranking. */
+  private val LshCtes: String = s"""
+    |planes AS (
+    |  SELECT tt.t, pp.p, dd.d,
+    |         ${H60("'plane_' || CAST(tt.t AS VARCHAR) || '_' || " +
+                    "CAST(pp.p AS VARCHAR) || '_' || CAST(dd.d AS VARCHAR)")}
+    |           % 2000001 - 1000000 AS w
+    |  FROM (SELECT unnest(range($LshTables)) AS t) tt,
+    |       (SELECT unnest(range($LshPlanes)) AS p) pp,
+    |       (SELECT unnest(range($LshDims)) AS d) dd),
+    |eq AS (SELECT vec_id, unnest(range(len(embedding))) AS d,
+    |              CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+    |                   AS BIGINT) AS e
+    |       FROM embeddings),
+    |proj AS (SELECT eq.vec_id, pl.t, pl.p, sum(eq.e * pl.w) AS s
+    |         FROM eq JOIN planes pl ON pl.d = eq.d GROUP BY 1, 2, 3),
+    |buck AS (SELECT vec_id, t,
+    |                sum(CASE WHEN s >= 0
+    |                         THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
+    |                         ELSE 0 END) AS bucket
+    |         FROM proj GROUP BY 1, 2),
+    |ex AS (SELECT vec_id, unnest(range(len(embedding))) AS pos,
+    |              CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+    |norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1)
+    |""".stripMargin
+
   /** Fixed phrase query set (exact adjacency; q_phrase). */
   val GatePhrases: Seq[Searcher.Query] = Seq(
     Searcher.Query(1, "merge join"),
@@ -186,12 +242,14 @@ object Gate {
         col("min_doc_id").cast("long"))
 
   def qNearDupJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(docs(s, dir), k = 3, minJ = 0.5)
+    Dedup.jaccardPairs(docs(s, dir), k = 3, minJ = 0.5,
+        maxShingleDf = MaxShingleDf)
       .select(col("doc_a").cast("long"), col("doc_b").cast("long"),
         col("jaccard"))
 
   def qMinhashCandidates(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidates(docs(s, dir))
+    Dedup.minhashCandidates(docs(s, dir), k = 3, nHashes = MinhashN,
+        bands = MinhashBands, maxBucket = MinhashMaxBucket)
       .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
 
   def qSimhash(s: SparkSession, dir: String): DataFrame =
@@ -224,10 +282,21 @@ object Gate {
 
   def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    Ann.lshTopK(e.filter(col("vec_id") < 20), e, k = 5)
+    Ann.lshTopK(e.filter(col("vec_id") < 20), e, k = 5,
+        nPlanes = LshPlanes, nTables = LshTables, dims = LshDims)
       .select(col("query_id").cast("long"), col("rank").cast("long"),
         col("neighbor_id").cast("long"), col("cos"))
   }
+
+  def qCosineNearDup(s: SparkSession, dir: String): DataFrame =
+    Ann.cosineNearDupPairs(embs(s, dir), minCos = 0.4,
+        nPlanes = LshPlanes, nTables = LshTables, dims = LshDims)
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"),
+        col("cos"))
+
+  def qSpectrumK3(s: SparkSession, dir: String): DataFrame =
+    Dedup.kgramSpectrum(docs(s, dir), 3)
+      .select(col("gram"), col("n"))
 
   def qMultimodal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -339,16 +408,19 @@ object Gate {
              min(doc_id) AS min_doc_id
       FROM documents GROUP BY 1""",
 
-    "q_neardup_jaccard" -> """
+    "q_neardup_jaccard" -> s"""
       WITH tl AS (SELECT doc_id,
                list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
                  x -> x <> '') AS t
              FROM documents),
-      sh AS (
+      sh0 AS (
         SELECT DISTINCT doc_id,
                unnest(list_transform(range(len(t) - 2),
                  p -> t[p + 1] || ' ' || t[p + 2] || ' ' || t[p + 3])) AS shingle
         FROM tl WHERE len(t) >= 3),
+      okset AS (SELECT shingle FROM sh0 GROUP BY shingle
+                HAVING count(*) <= $MaxShingleDf),
+      sh AS (SELECT sh0.* FROM sh0 JOIN okset USING (shingle)),
       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
       com AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -406,10 +478,121 @@ object Gate {
           x -> x <> '')) AS BIGINT) AS n_re_tokens
       FROM documents""",
 
-    // q_minhash_candidates / q_ann_lsh / q_simhash / q_fingerprint /
-    // q_multimodal: deterministic but hash-function-specific (xxhash64 /
-    // splitmix) — not reproducible in DuckDB SQL, so rows-only checks;
-    // their semantics are unit-tested in OpsSpec instead.
+    // Probabilistic/hash ops are built on CrossHash.h60 (md5-derived) and
+    // exact integer arithmetic, so every one of them has a full DuckDB
+    // oracle — the reference's everything-is-diffable discipline
+    // (/root/reference/src/gin_graph.c:282-388).
+    "q_fingerprint" -> s"""
+      WITH $TlCte
+      SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(t, x -> ${H60("x")} % 1000000007)),
+          (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+      FROM tl""",
+
+    "q_simhash" -> s"""
+      WITH $TlCte,
+      tok AS (SELECT doc_id, unnest(t) AS x FROM tl),
+      th AS (SELECT doc_id, ${H60("x")} AS h FROM tok),
+      bits AS (
+        SELECT doc_id, b,
+               sum(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS c
+        FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) bb
+        GROUP BY 1, 2),
+      sig AS (
+        SELECT doc_id,
+               sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+                        ELSE 0 END) AS simhash
+        FROM bits GROUP BY 1)
+      SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash
+      FROM documents d LEFT JOIN sig s USING (doc_id)""",
+
+    "q_minhash_candidates" -> s"""
+      WITH $TlCte,
+      sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(len(t) - 2),
+                 p -> t[p + 1] || ' ' || t[p + 2] || ' ' || t[p + 3])) AS shingle
+        FROM tl WHERE len(t) >= 3),
+      x AS (SELECT doc_id, ${H60("shingle")} % 2147483647 AS x31 FROM sh),
+      co(i, a, b) AS (VALUES $MinhashCoeffSql),
+      hv AS (SELECT doc_id, i, min((a * x31 + b) % 2147483647) AS h
+             FROM x CROSS JOIN co GROUP BY 1, 2),
+      banded AS (
+        SELECT doc_id, (i // ${MinhashN / MinhashBands}) AS band,
+               string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS bkey
+        FROM hv GROUP BY 1, 2),
+      ok AS (SELECT band, bkey FROM banded GROUP BY band, bkey
+             HAVING count(*) <= $MinhashMaxBucket),
+      kept AS (SELECT banded.* FROM banded JOIN ok USING (band, bkey))
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM kept a JOIN kept b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""",
+
+    "q_ann_lsh" -> s"""
+      WITH $LshCtes,
+      cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM buck q JOIN buck c ON q.t = c.t AND q.bucket = c.bucket
+        WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+      dots AS (
+        SELECT cd.query_id, cd.neighbor_id, sum(a.v * b.v) AS dot
+        FROM cand cd
+        JOIN ex a ON a.vec_id = cd.query_id
+        JOIN ex b ON b.vec_id = cd.neighbor_id AND b.pos = a.pos
+        GROUP BY 1, 2),
+      cosv AS (
+        SELECT d.query_id, d.neighbor_id,
+               round(d.dot / (na.nrm * nb.nrm), 6) AS cos
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.query_id
+        JOIN norms nb ON nb.vec_id = d.neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS rank
+        FROM cosv)
+      SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5""",
+
+    "q_cosine_neardup" -> s"""
+      WITH $LshCtes,
+      cand AS (
+        SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM buck a JOIN buck b
+          ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      dots AS (
+        SELECT cd.doc_a, cd.doc_b, sum(a.v * b.v) AS dot
+        FROM cand cd
+        JOIN ex a ON a.vec_id = cd.doc_a
+        JOIN ex b ON b.vec_id = cd.doc_b AND b.pos = a.pos
+        GROUP BY 1, 2),
+      cosv AS (
+        SELECT d.doc_a, d.doc_b, round(d.dot / (na.nrm * nb.nrm), 6) AS cos
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.doc_a
+        JOIN norms nb ON nb.vec_id = d.doc_b)
+      SELECT doc_a, doc_b, cos FROM cosv WHERE cos >= 0.4""",
+
+    "q_multimodal" -> """
+      SELECT doc_id, 'text/plain' AS media_type,
+             CAST(length(text) AS BIGINT) AS n_bytes,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(range(length(text)),
+                           i -> CAST(ascii(substr(text, CAST(i AS INTEGER) + 1, 1))
+                                AS BIGINT))),
+                         (a, b) -> a + b) / CAST(length(text) AS DOUBLE), 6)
+             END AS mean_byte
+      FROM documents""",
+
+    "q_spectrum_k3" -> s"""
+      WITH $TlCte,
+      g AS (SELECT unnest(list_transform(range(len(t) - 2),
+              p -> t[p + 1] || ' ' || t[p + 2] || ' ' || t[p + 3])) AS gram
+            FROM tl WHERE len(t) >= 3)
+      SELECT gram, count(*) AS n FROM g GROUP BY 1""",
+
     "q_ann_cosine" -> """
       WITH ex AS (
         SELECT vec_id, unnest(range(len(embedding))) AS pos,
@@ -485,5 +668,7 @@ object Gate {
     "q_fingerprint" -> (qFingerprint _),
     "q_ann_cosine" -> (qAnnCosine _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_cosine_neardup" -> (qCosineNearDup _),
+    "q_spectrum_k3" -> (qSpectrumK3 _),
     "q_multimodal" -> (qMultimodal _))
 }

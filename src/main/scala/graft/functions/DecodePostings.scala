@@ -11,7 +11,7 @@ import graft.index.Codec
 /** Native Catalyst generator that explodes one compressed posting block
   * into (doc_id, tf, dl) rows — the custom-Expression tier of the
   * extension ladder (compose built-ins < custom Expression < custom
-  * plan节点): decoding happens directly on the block's binary columns
+  * plan node): decoding happens directly on the block's binary columns
   * inside the executor row pipeline, with no Dataset encoder round-trip
   * through a case class (the typed-flatMap path deserializes a whole
   * PostingBlock object per block and re-serializes every posting).

@@ -3,7 +3,6 @@ package graft.index
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import java.nio.file.{Files, Paths, Path}
 import scala.collection.mutable.ArrayBuffer
 
 /** Index build job — the Spark-native analog of `gin index`
@@ -43,7 +42,10 @@ object Builder {
       nSegments: Int = 4,
       saltTarget: Int = 50000, // max postings of one term per salt bucket
       shufflePartitions: Int = 0, // 0 = leave session value
-      storePositions: Boolean = false) // also write positions/ (phrases)
+      storePositions: Boolean = false, // also write positions/ (phrases)
+      verifySegments: Boolean = true) // row-count+checksum readback per
+        // segment (2 extra jobs each); benchmarks may disable — resume
+        // markers are still written, only their payload stats are empty
 
   private val TokenSep = "[^a-z0-9_]+"
 
@@ -74,13 +76,15 @@ object Builder {
   def bucketOf(term: org.apache.spark.sql.Column, nBuckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(term), lit(nBuckets.toLong)).cast("int")
 
-  private def committed(dir: String, marker: String): Boolean =
-    Files.exists(Paths.get(dir, marker))
+  // commit markers go through the Hadoop FS API (graft.util.Fs) so
+  // resumable builds work on HDFS/S3A index dirs, not just local paths;
+  // the SparkSession is threaded in by build()
+  private def committed(spark: SparkSession, dir: String, marker: String): Boolean =
+    graft.util.Fs.exists(spark, s"$dir/$marker")
 
-  private def commit(dir: String, marker: String, payload: String = ""): Unit = {
-    Files.createDirectories(Paths.get(dir))
-    Files.writeString(Paths.get(dir, marker), payload)
-  }
+  private def commit(spark: SparkSession, dir: String, marker: String,
+                     payload: String = ""): Unit =
+    graft.util.Fs.write(spark, s"$dir/$marker", payload)
 
   /** Full build. Resumable: every stage/segment checks its commit marker
     * and is skipped if already committed (the sharded analog of the
@@ -96,9 +100,8 @@ object Builder {
       stageLog(stage, (System.nanoTime() - t0) / 1e9)
       r
     }
-    Files.createDirectories(Paths.get(outDir))
     // self-describing index: readers must not guess the layout params
-    Files.writeString(Paths.get(outDir, "_META.json"),
+    graft.util.Fs.write(spark, s"$outDir/_META.json",
       s"""{"blockSize":${conf.blockSize},"nBuckets":${conf.nBuckets},""" +
         s""""nSegments":${conf.nSegments},"saltTarget":${conf.saltTarget}}""")
 
@@ -118,12 +121,26 @@ object Builder {
     // scanned and the id window computed exactly ONCE. This is the
     // ingest-snapshot pattern: it also makes resume cheap (no id
     // recomputation) and pins id determinism even if the source moves.
-    if (!committed(outDir, "_COMMIT_corpus_ids")) timed("corpus_ids") {
+    if (!committed(spark, outDir, "_COMMIT_corpus_ids")) timed("corpus_ids") {
       withDocIds(corpus)
         .select("doc_id", "repo", "path", "commit", "lang", "content")
         .repartition(nPart) // restore width after the id window
+        .as[(Long, String, String, String, String, String)]
+        .mapPartitions { it =>
+          // per-doc derived metadata in the SAME pass as the snapshot
+          // write: the corpus is tokenized (dl) and hashed (sha256) once,
+          // not re-scanned by a separate docmeta stage
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          it.map { case (id, repo, path, commitId, lang, content) =>
+            val dl = Tokenizer.tokens(content).length
+            md.reset()
+            val sha = md.digest(content.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            CorpusRow(id, repo, path, commitId, lang, dl, sha, content)
+          }
+        }
         .write.mode(SaveMode.Overwrite).parquet(corpusIdsDir)
-      commit(outDir, "_COMMIT_corpus_ids")
+      commit(spark, outDir, "_COMMIT_corpus_ids")
     }
     // Width control: downstream stages explode rows ~dl times, but both
     // AQE coalescing and parquet file-packing size partitions on
@@ -133,32 +150,24 @@ object Builder {
       spark.read.parquet(corpusIdsDir).select(cols.map(col): _*).repartition(nPart)
 
     // ---- stage 1: docmeta --------------------------------------------
-    // typed single pass per doc: scanner tokenizer for dl (regex split is
-    // the profiled hot spot) + sha256; no shuffle
-    if (!committed(outDir, "_COMMIT_docmeta")) timed("docmeta") {
-      corpusIds("doc_id", "repo", "path", "commit", "lang", "content")
-        .as[(Long, String, String, String, String, String)]
-        .mapPartitions { it =>
-          val md = java.security.MessageDigest.getInstance("SHA-256")
-          it.map { case (id, repo, path, commitId, lang, content) =>
-            val dl = Tokenizer.tokens(content).length
-            md.reset()
-            val sha = md.digest(content.getBytes("UTF-8"))
-              .map("%02x".format(_)).mkString
-            DocMeta(id, repo, path, commitId, lang, dl, sha)
-          }
-        }
+    // a column-pruned PROJECTION of the snapshot (parquet never reads the
+    // content column here); kept as its own compact table because query
+    // handles pin it in executor memory for resolve joins
+    if (!committed(spark, outDir, "_COMMIT_docmeta")) timed("docmeta") {
+      spark.read.parquet(corpusIdsDir)
+        .select("doc_id", "repo", "path", "commit", "lang", "dl",
+          "content_sha256")
         .write.mode(SaveMode.Overwrite).parquet(docmetaDir)
-      commit(outDir, "_COMMIT_docmeta")
+      commit(spark, outDir, "_COMMIT_docmeta")
     }
 
     // ---- stage 2: stats ----------------------------------------------
-    if (!committed(outDir, "_COMMIT_stats")) timed("stats") {
+    if (!committed(spark, outDir, "_COMMIT_stats")) timed("stats") {
       spark.read.parquet(docmetaDir)
         .agg(count(lit(1)).as("n_docs"), avg(col("dl").cast("double")).as("avgdl"))
         .coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(statsDir)
-      commit(outDir, "_COMMIT_stats")
+      commit(spark, outDir, "_COMMIT_stats")
     }
     val Stats(nDocs, avgdl) = loadStats(spark, outDir)
 
@@ -168,7 +177,7 @@ object Builder {
     // shuffle of |tokens| rows disappears entirely (map-side combine
     // taken to its limit: the doc itself is the combine group). The only
     // data movement left is the bucket-partitioned write.
-    if (!committed(outDir, "_COMMIT_postings_raw")) timed("postings_raw") {
+    if (!committed(spark, outDir, "_COMMIT_postings_raw")) timed("postings_raw") {
       corpusIds("doc_id", "content")
         .as[(Long, String)]
         .flatMap { case (id, content) =>
@@ -192,14 +201,14 @@ object Builder {
         // bucket values (measured 7-14x slower than this shuffle)
         .repartition(nPart, col("bucket"))
         .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(rawDir)
-      commit(outDir, "_COMMIT_postings_raw")
+      commit(spark, outDir, "_COMMIT_postings_raw")
     }
 
     // ---- stage 3b (optional): positions table for phrase queries ------
     // Separate table (Lucene keeps positions in their own file too): the
     // core index stays position-free; phrase evaluation joins this in for
     // the candidate docs only.
-    if (conf.storePositions && !committed(outDir, "_COMMIT_positions"))
+    if (conf.storePositions && !committed(spark, outDir, "_COMMIT_positions"))
       timed("positions") {
         corpusIds("doc_id", "content")
           .as[(Long, String)]
@@ -228,71 +237,39 @@ object Builder {
           .repartition(nPart, col("bucket"))
           .write.mode(SaveMode.Overwrite).partitionBy("bucket")
           .parquet(s"$outDir/positions")
-        commit(outDir, "_COMMIT_positions")
+        commit(spark, outDir, "_COMMIT_positions")
       }
 
     // ---- stage 4: dictionary -----------------------------------------
-    if (!committed(outDir, "_COMMIT_dictionary")) timed("dictionary") {
+    if (!committed(spark, outDir, "_COMMIT_dictionary")) timed("dictionary") {
       spark.read.parquet(rawDir)
         .groupBy("term")
         .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
         .withColumn("bucket", bucketOf(col("term"), conf.nBuckets))
         .repartition(math.min(nPart, conf.nBuckets), col("bucket"))
         .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(dictDir)
-      commit(outDir, "_COMMIT_dictionary")
+      commit(spark, outDir, "_COMMIT_dictionary")
     }
 
     // ---- stage 5: block-encoded postings, one committable segment per
-    //      bucket group (per-partition lineage + resume) ---------------
-    //
-    // Skew handling (north rule): Zipf head terms are SALTED — a term with
-    // df > saltTarget is split into ceil(df/saltTarget) contiguous doc-id
-    // ranges, and the shuffle key is hash(term, salt). Unlike
-    // repartitionByRange (whose sampled boundaries are run-dependent) this
-    // layout is a pure function of the data, so a resumed build produces a
-    // byte-identical index — the deterministic-permutation analog
-    // (/root/reference/src/gin_gin.c:103-112).
+    //      bucket group (per-partition lineage + resume); see
+    //      encodeSegment for the salting/skew design ---------------------
     val manifestRows = ArrayBuffer.empty[ManifestRow]
     for (g <- 0 until conf.nSegments) {
       val segDir = s"$postDir/segment=$g"
       val marker = s"_COMMIT_segment_$g"
-      if (!committed(outDir, marker)) timed(s"segment_$g") {
-        val buckets = (0 until conf.nBuckets).filter(_ % conf.nSegments == g)
-        val headTerms = spark.read.parquet(dictDir)
-          .filter(col("bucket").isin(buckets: _*) && col("df") > conf.saltTarget)
-          .select("term", "df")
-        val raw = spark.read.parquet(rawDir)
-          .filter(col("bucket").isin(buckets: _*))
-          .join(broadcast(headTerms), Seq("term"), "left")
-          .withColumn("n_salts",
-            coalesce(ceil(col("df").cast("double") / conf.saltTarget), lit(1L)))
-          .withColumn("span", ceil(lit(nDocs.toDouble) / col("n_salts")).cast("long"))
-          .withColumn("salt", (col("doc_id") / col("span")).cast("int"))
-          .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("salt"))
-        // blocks must BREAK at salt boundaries: one partition can hold
-        // non-adjacent salts of the same term, and a block glued across
-        // the gap would overlap other salts' block ranges — violating the
-        // disjoint-sorted invariant the WAND cursor skip relies on
-        val blocks = raw
-          .repartition(nPart, xxhash64(col("term"), col("salt")))
-          .sortWithinPartitions("term", "salt", "doc_id")
-          .select("term", "doc_id", "tf", "dl", "salt")
-          .as[(String, Long, Int, Int, Int)]
-          .mapPartitions { it =>
-            encodeBlocksKeyed(
-              it.map { case (t, d, tf, dl, s) => (Posting(t, d, tf, dl), s) },
-              avgdl, conf.blockSize)
-          }
-        blocks
-          .withColumn("bucket", bucketOf(col("term"), conf.nBuckets))
-          .write.mode(SaveMode.Overwrite).parquet(segDir)
-        val seg = spark.read.parquet(segDir)
-        val chk = seg.agg(coalesce(bit_xor(xxhash64(col("term"),
-          col("doc_id_base"), col("num_docs"))), lit(0L))).as[Long].head()
-        val rows = seg.count()
-        commit(outDir, marker, s"""{"rows":$rows,"checksum":$chk}""")
+      if (!committed(spark, outDir, marker)) timed(s"segment_$g") {
+        encodeSegment(spark, dictDir, rawDir, segDir, g, conf, nDocs, avgdl,
+          nPart)
+        if (conf.verifySegments) {
+          val seg = spark.read.parquet(segDir)
+          val chk = seg.agg(coalesce(bit_xor(xxhash64(col("term"),
+            col("doc_id_base"), col("num_docs"))), lit(0L))).as[Long].head()
+          val rows = seg.count()
+          commit(spark, outDir, marker, s"""{"rows":$rows,"checksum":$chk}""")
+        } else commit(spark, outDir, marker, "{}")
       }
-      val payload = Files.readString(Paths.get(outDir, marker))
+      val payload = graft.util.Fs.read(spark, s"$outDir/$marker")
       val rows = """"rows":(\d+)""".r.findFirstMatchIn(payload).map(_.group(1).toLong).getOrElse(0L)
       val chk = """"checksum":(-?\d+)""".r.findFirstMatchIn(payload).map(_.group(1).toLong).getOrElse(0L)
       manifestRows += ManifestRow("postings", g, rows, chk, "committed")
@@ -301,7 +278,51 @@ object Builder {
     // ---- stage 6: manifest table -------------------------------------
     manifestRows.toSeq.toDS().coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(manifestDir)
-    commit(outDir, "_COMMIT_index")
+    commit(spark, outDir, "_COMMIT_index")
+  }
+
+  /** One segment's salt + sort + block-encode pipeline, shared by the
+    * batch build (stage 5) and the stream Compactor.
+    *
+    * Skew handling (north rule): Zipf head terms are SALTED — a term with
+    * df > saltTarget is split into ceil(df/saltTarget) contiguous doc-id
+    * ranges, and the shuffle key is hash(term, salt). Unlike
+    * repartitionByRange (whose sampled boundaries are run-dependent) this
+    * layout is a pure function of the data, so a resumed build produces a
+    * byte-identical index — the deterministic-permutation analog
+    * (/root/reference/src/gin_gin.c:103-112). */
+  def encodeSegment(spark: SparkSession, dictDir: String, rawDir: String,
+      segDir: String, g: Int, conf: Config, nDocs: Long, avgdl: Double,
+      nPart: Int): Unit = {
+    import spark.implicits._
+    val buckets = (0 until conf.nBuckets).filter(_ % conf.nSegments == g)
+    val headTerms = spark.read.parquet(dictDir)
+      .filter(col("bucket").isin(buckets: _*) && col("df") > conf.saltTarget)
+      .select("term", "df")
+    val raw = spark.read.parquet(rawDir)
+      .filter(col("bucket").isin(buckets: _*))
+      .join(broadcast(headTerms), Seq("term"), "left")
+      .withColumn("n_salts",
+        coalesce(ceil(col("df").cast("double") / conf.saltTarget), lit(1L)))
+      .withColumn("span", ceil(lit(nDocs.toDouble) / col("n_salts")).cast("long"))
+      .withColumn("salt", (col("doc_id") / col("span")).cast("int"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("salt"))
+    // blocks must BREAK at salt boundaries: one partition can hold
+    // non-adjacent salts of the same term, and a block glued across
+    // the gap would overlap other salts' block ranges — violating the
+    // disjoint-sorted invariant the WAND cursor skip relies on
+    raw
+      .repartition(nPart, xxhash64(col("term"), col("salt")))
+      .sortWithinPartitions("term", "salt", "doc_id")
+      .select("term", "doc_id", "tf", "dl", "salt")
+      .as[(String, Long, Int, Int, Int)]
+      .mapPartitions { it =>
+        encodeBlocksKeyed(
+          it.map { case (t, d, tf, dl, s) => (Posting(t, d, tf, dl), s) },
+          avgdl, conf.blockSize)
+      }
+      .withColumn("bucket", bucketOf(col("term"), conf.nBuckets))
+      .write.mode(SaveMode.Overwrite).parquet(segDir)
   }
 
   /** Encode a (term, doc_id)-sorted partition into posting blocks.

@@ -27,6 +27,20 @@ case class DocMeta(
     dl: Int,
     content_sha256: String)
 
+/** Id-stamped corpus snapshot row: the ingest freeze plus the per-doc
+  * derived fields (dl, sha256) computed in the SAME pass, so the corpus
+  * is tokenized for metadata exactly once. docmeta/ is then a
+  * column-pruned projection of this table (content never re-read). */
+case class CorpusRow(
+    doc_id: Long,
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    dl: Int,
+    content_sha256: String,
+    content: String)
+
 /** Uncompressed posting (build intermediate; also the "raw" staged table). */
 case class Posting(term: String, doc_id: Long, tf: Int, dl: Int)
 
@@ -80,4 +94,9 @@ object Bm25 {
   /** Single-term contribution. */
   def score(tf: Int, dl: Int, avgdl: Double, nDocs: Long, df: Long): Double =
     idf(nDocs, df) * (K1 + 1.0) * tfNorm(tf, dl, avgdl)
+
+  /** Ranking-grade rounding (6 dp, HALF_UP): applied before every rank so
+    * ordering is reproducible across engines (oracle parity). */
+  def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -2,14 +2,18 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.util.CrossHash
 
 /** Similarity search over an embedding column (Array[Float]).
   *
   * Baseline: brute-force cosine top-k as a broadcast-join + column
   * expressions (`aggregate`/`zip_with`, fully codegen'd — no UDF).
-  * Scale path: random-hyperplane LSH bucketing so candidate generation
-  * is a bucket join instead of a cross product, plus an embedding-cosine
-  * near-dup filter for dedup pipelines.
+  * Scale path: multi-table random-hyperplane LSH — candidates are the
+  * UNION over L independent hash tables (band-OR boosts recall), exact
+  * cosine re-ranks them. Bucketing is integer-exact: embeddings are
+  * quantized with floor(v·10^6) and plane weights are integers derived
+  * from CrossHash.h60, so bucket ids are identical in Spark and the
+  * DuckDB oracle (no float-sum order sensitivity).
   */
 object Ann {
 
@@ -26,9 +30,8 @@ object Ann {
 
   /** Brute-force cosine top-k neighbors for each query vector.
     * queries is broadcast (small); corpus side streams — one pass, no
-    * shuffle of the corpus, per-query top-k via TakeOrdered-style
-    * window-free aggregation.
-    * Returns (query_id, rank, neighbor_id, cos) with rank 1..k. */
+    * shuffle of the corpus, per-query top-k via the typed bounded
+    * aggregator. Returns (query_id, rank, neighbor_id, cos), rank 1..k. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
@@ -40,6 +43,12 @@ object Ann {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("q_emb"), col("c_emb")), 6).as("cos"))
+    rankTopK(scored, k)
+  }
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
     import graft.query.{Scored, TopKAgg}
     val topk = new TopKAgg(k)
     scored.as[(Long, Long, Double)]
@@ -52,60 +61,74 @@ object Ann {
       .toDF("query_id", "rank", "neighbor_id", "cos")
   }
 
-  /** Random-hyperplane LSH bucket id: sign bits of `nPlanes` seeded
-    * pseudo-random projections. Deterministic: plane p component i =
-    * mix(seed, p, i) mapped to [-1, 1]. */
-  def lshBucket(emb: Column, nPlanes: Int, seed: Long = 42L): Column = {
-    // component hash -> [-1,1]: use xxhash64 of (p, i) via concat of lits
-    // computed as a column expression over the positions
+  /** Integer plane weight for (table, plane, dim): h60 of a tag string
+    * mapped to [-10^6, 10^6]. Shared verbatim with the SQL oracle. */
+  def planeWeight(table: Int, plane: Int, dim: Int): Long =
+    CrossHash.h60(s"plane_${table}_${plane}_$dim") % 2000001L - 1000000L
+
+  /** Quantized embedding: floor(v·10^6) per component as long. floor of
+    * a double is deterministic and identical across engines. */
+  def quantized(emb: Column): Column =
+    transform(emb, v => floor(v.cast("double") * 1000000.0).cast("long"))
+
+  /** LSH bucket id for one table: `nPlanes` sign bits of exact integer
+    * projections of the quantized embedding onto h60-derived planes. */
+  def lshBucket(emb: Column, nPlanes: Int, table: Int, dims: Int): Column = {
+    val e6 = quantized(emb)
     val bits = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1), (v, i) =>
-          v.cast("double") *
-            (pmod(xxhash64(lit(seed), lit(p), i), lit(2000001L)).cast("double")
-              / 1000000.0 - 1.0)),
-        lit(0.0), (acc, v) => acc + v)
+      val w = Array.tabulate(dims)(d => planeWeight(table, p, d))
+      val proj = aggregate(zip_with(e6, lit(w), (a, b) => a * b),
+        lit(0L), (acc, v) => acc + v)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
 
-  /** LSH-bucketed approximate top-k: candidates = same-bucket pairs
-    * (bucket join, shuffle on bucket id), then exact cosine within the
-    * bucket. Trades recall for eliminating the cross product. */
+  /** All L table buckets as one array column (single pass per row). */
+  def lshBuckets(emb: Column, nPlanes: Int, nTables: Int, dims: Int): Column =
+    array((0 until nTables).map(t => lshBucket(emb, nPlanes, t, dims)): _*)
+
+  /** Multi-table LSH approximate top-k: candidates = union over L hash
+    * tables of same-bucket pairs (one shuffle on (table, bucket)), then
+    * exact cosine re-rank. Band-OR across tables recovers the recall a
+    * single table forfeits; candidate volume stays ~L·n/2^planes per
+    * query instead of n. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nPlanes: Int = 8): DataFrame = {
-    val spark = queries.sparkSession
-    import spark.implicits._
+              nPlanes: Int = 8, nTables: Int = 6, dims: Int = 64): DataFrame = {
     val qb = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"),
-      lshBucket(col("embedding"), nPlanes).as("bucket"))
+        col("embedding").as("q_emb"),
+        posexplode(lshBuckets(col("embedding"), nPlanes, nTables, dims)))
+      .withColumnsRenamed(Map("pos" -> "t", "col" -> "bucket"))
     val cb = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("c_emb"),
-      lshBucket(col("embedding"), nPlanes).as("bucket"))
-    val scored = qb.join(cb, "bucket")
+        col("embedding").as("c_emb"),
+        posexplode(lshBuckets(col("embedding"), nPlanes, nTables, dims)))
+      .withColumnsRenamed(Map("pos" -> "t", "col" -> "bucket"))
+    val cand = qb.join(cb, Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("q_emb"), col("c_emb")), 6).as("cos"))
-    import graft.query.{Scored, TopKAgg}
-    val topk = new TopKAgg(k)
-    scored.as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues(r => Scored(r._2, r._3))
-      .agg(topk.toColumn.name("topk"))
-      .flatMap { case (qid, hits) =>
-        hits.zipWithIndex.map { case (s, i) => (qid, i + 1, s.doc_id, s.score) }
-      }
-      .toDF("query_id", "rank", "neighbor_id", "cos")
+      .select("query_id", "q_emb", "neighbor_id", "c_emb")
+      .distinct()
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      round(cosine(col("q_emb"), col("c_emb")), 6).as("cos"))
+    rankTopK(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold (doc_a <
-    * doc_b). Brute force within broadcastable scale; at cluster scale the
-    * caller should pre-bucket with lshBucket and join on bucket. */
-  def cosineNearDupPairs(corpus: DataFrame, minCos: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").as("doc_a"), col("embedding").as("ea"))
-    val b = corpus.select(col("vec_id").as("doc_b"), col("embedding").as("eb"))
-    a.join(b, col("doc_a") < col("doc_b"))
+    * doc_b): multi-table LSH candidate generation (NO cartesian product —
+    * the join key is (table, bucket)), exact cosine verification. Near
+    * dups have cos close to 1, exactly where hyperplane LSH recall is
+    * highest: P(pair survives) = 1-(1-(1-θ/π)^planes)^tables. */
+  def cosineNearDupPairs(corpus: DataFrame, minCos: Double,
+                         nPlanes: Int = 8, nTables: Int = 6,
+                         dims: Int = 64): DataFrame = {
+    val b = corpus.select(col("vec_id"), col("embedding"),
+        posexplode(lshBuckets(col("embedding"), nPlanes, nTables, dims)))
+      .withColumnsRenamed(Map("pos" -> "t", "col" -> "bucket"))
+    val l = b.as("a"); val r = b.as("b")
+    l.join(r, col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")
+        && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .distinct()
       .select(col("doc_a"), col("doc_b"),
         round(cosine(col("ea"), col("eb")), 6).as("cos"))
       .filter(col("cos") >= minCos)

@@ -1,17 +1,24 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
-import graft.index.{Builder, Tokenizer}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import graft.index.Builder
+import graft.util.CrossHash
 
 /** Deduplication operators for training-data pipelines.
   *
   * Scale notes: exact dedup is one hash-shuffle on a 64-char key (not the
   * content); near-dup is an inverted shingle join — the posting-list
-  * pattern again — so the same salting logic applies to head shingles;
-  * MinHash/LSH trades the quadratic term for banding at the cost of
-  * recall.
+  * pattern again — with a shingle-df cap so one boilerplate shingle
+  * cannot make the self-join quadratic; MinHash/LSH trades the quadratic
+  * term for banding, with signatures combined map-side by an Aggregator
+  * and a bucket-size cap so a giant duplicate cluster cannot blow up one
+  * bucket.
+  *
+  * All hashing is CrossHash.h60 (md5-derived) so every operator here is
+  * exactly reproducible by the DuckDB oracle.
   */
 object Dedup {
 
@@ -47,8 +54,7 @@ object Dedup {
     * Every shifted view is clipped to exactly n-k+1 elements: zip_with
     * null-PADS the shorter input (it does not truncate), and a null
     * element would both poison concat and inflate shingle counts. */
-  private[ops] def kgrams(toks: org.apache.spark.sql.Column,
-      n: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+  private[ops] def kgrams(toks: Column, n: Column, k: Int): Column = {
     val len = n - (k - 1)
     val first = slice(toks, lit(1), len)
     (1 until k).foldLeft(first) { (acc, off) =>
@@ -57,11 +63,39 @@ object Dedup {
     }
   }
 
+  /** k-gram spectrum: global k-gram counts over the corpus — the k-mer
+    * spectrum analog for arbitrary k (gin utils spectrum,
+    * /root/reference/src/gin_graph.c:164-280). */
+  def kgramSpectrum(docs: DataFrame, k: Int): DataFrame = {
+    val toks = Builder.tokensCol(col("text"))
+    docs.select(toks.as("t"))
+      .filter(size(col("t")) >= k)
+      .select(explode(kgrams(col("t"), size(col("t")), k)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).cast("long").as("n"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index —
     * no all-pairs product: only docs sharing at least one shingle meet.
+    *
+    * `maxShingleDf` caps the document frequency of join-key shingles: a
+    * shingle appearing in more than that many docs (license headers,
+    * generated boilerplate) is dropped from the UNIVERSE (both the join
+    * and the per-doc sizes), so the self-join's worst fan-out is
+    * maxShingleDf² per hot shingle instead of df². Jaccard is then exact
+    * over the capped universe — the standard discriminative-shingle
+    * semantics, and mirrorable in SQL.
+    *
+    * The threshold compares the UNROUNDED ratio (the output rounds to 6dp
+    * for display only), matching the oracle exactly.
+    *
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= minJ. */
-  def jaccardPairs(docs: DataFrame, k: Int, minJ: Double): DataFrame = {
-    val sh = shingles(docs, k).cache()
+  def jaccardPairs(docs: DataFrame, k: Int, minJ: Double,
+                   maxShingleDf: Long = 10000L): DataFrame = {
+    val sh0 = shingles(docs, k)
+    val shDf = sh0.groupBy("shingle").agg(count(lit(1)).as("sh_df"))
+    val sh = sh0.join(shDf.filter(col("sh_df") <= maxShingleDf), "shingle")
+      .select("doc_id", "shingle")
+      .cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a"); val b = sh.as("b")
     val common = a.join(b, col("a.shingle") === col("b.shingle")
@@ -73,88 +107,105 @@ object Dedup {
         .withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("n_sh", "n_b"), "doc_b")
-      .withColumn("jaccard", round(col("n_common").cast("double") /
-        (col("n_a") + col("n_b") - col("n_common")), 6))
-      .filter(col("jaccard") >= minJ)
-      .select("doc_a", "doc_b", "jaccard")
+      .withColumn("raw_j", col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("raw_j") >= minJ)
+      .select(col("doc_a"), col("doc_b"), round(col("raw_j"), 6).as("jaccard"))
   }
 
   // ---- MinHash + LSH --------------------------------------------------
 
-  /** Deterministic 64-bit mix (splitmix64 finalizer). */
-  private def mix64(x0: Long): Long = {
-    var x = x0 ^ 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
+  /** Map-side-combining minhash aggregator: reduce folds one shingle's
+    * base hash into the signature (elementwise min of affine permutation
+    * hashes mod the Mersenne prime 2^31-1); merge is elementwise min. So
+    * the shuffle carries one partial signature per (partition, doc), not
+    * every (doc, shingle) row. */
+  class MinHashAgg(nHashes: Int)
+      extends Aggregator[Long, Array[Long], Seq[Long]] {
+    @transient private lazy val as: Array[Long] =
+      Array.tabulate(nHashes)(i => CrossHash.minhashCoeff(i)._1)
+    @transient private lazy val bs: Array[Long] =
+      Array.tabulate(nHashes)(i => CrossHash.minhashCoeff(i)._2)
+    def zero: Array[Long] = Array.fill(nHashes)(Long.MaxValue)
+    def reduce(sig: Array[Long], x31: Long): Array[Long] = {
+      var i = 0
+      while (i < nHashes) {
+        val v = (as(i) * x31 + bs(i)) % CrossHash.P31
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      sig
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < nHashes) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    def finish(sig: Array[Long]): Seq[Long] = sig.toSeq
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
   }
 
-  /** MinHash signatures: nHashes permutations approximated by seeded
-    * remixes of one shingle hash; computed in one pass per doc via
-    * typed mapGroups over its shingles. */
+  /** MinHash signatures. Base hash per shingle: h60 (md5) reduced mod
+    * 2^31-1; permutation i applies (a_i·x + b_i) mod (2^31-1). Exactly
+    * reproducible in SQL (all arithmetic in BIGINT range). */
   def minhashSignatures(docs: DataFrame, k: Int, nHashes: Int): Dataset[(Long, Seq[Long])] = {
     val spark = docs.sparkSession
     import spark.implicits._
     shingles(docs, k)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .select(col("doc_id"),
+        pmod(CrossHash.h60(col("shingle")), lit(CrossHash.P31)).as("x31"))
       .as[(Long, Long)]
       .groupByKey(_._1)
-      .mapGroups { (docId, it) =>
-        val sig = Array.fill(nHashes)(Long.MaxValue)
-        it.foreach { case (_, h) =>
-          var i = 0
-          while (i < nHashes) {
-            val v = mix64(h + i * 0xc2b2ae3d27d4eb4fL)
-            if (v < sig(i)) sig(i) = v
-            i += 1
-          }
-        }
-        (docId, sig.toSeq)
-      }
+      .mapValues(_._2)
+      .agg(new MinHashAgg(nHashes).toColumn.name("sig"))
+      .map { case (docId, sig) => (docId, sig) }
   }
 
-  /** LSH candidate pairs: band the signature, bucket-join on band hash.
-    * Recall is probabilistic; callers verify candidates with
-    * `jaccardPairs`-style exact scoring on the candidate set. */
+  /** LSH candidate pairs: band the signature, bucket-join on the band
+    * key. `maxBucket` drops buckets larger than that many docs (a giant
+    * exact-duplicate cluster would otherwise produce |bucket|² candidate
+    * rows from one key); such clusters are exactly what `exactGroups`
+    * already catches upstream. Recall is probabilistic; callers verify
+    * candidates with `jaccardPairs`-style exact scoring. */
   def minhashCandidates(docs: DataFrame, k: Int = 3, nHashes: Int = 32,
-                        bands: Int = 8): DataFrame = {
+                        bands: Int = 8, maxBucket: Long = 1000L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val rows = nHashes / bands
     val sigs = minhashSignatures(docs, k, nHashes)
     val banded = sigs.flatMap { case (docId, sig) =>
       (0 until bands).map { b =>
-        val slice = sig.slice(b * rows, (b + 1) * rows)
-        (docId, b, slice.foldLeft(17L)((acc, h) => mix64(acc ^ h)))
+        val key = sig.slice(b * rows, (b + 1) * rows).mkString(",")
+        (docId, b, key)
       }
-    }.toDF("doc_id", "band", "bucket")
-    val a = banded.as("a"); val b = banded.as("b")
+    }.toDF("doc_id", "band", "bkey")
+    val bucketSizes = banded.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("n_in_bucket"))
+      .filter(col("n_in_bucket") <= maxBucket)
+      .select("band", "bkey")
+    val kept = banded.join(bucketSizes, Seq("band", "bkey"))
+    val a = kept.as("a"); val b = kept.as("b")
     a.join(b, col("a.band") === col("b.band")
-        && col("a.bucket") === col("b.bucket")
+        && col("a.bkey") === col("b.bkey")
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
 
-  /** SimHash (64-bit) over token hashes weighted by tf. */
+  /** SimHash (60-bit, h60 token hashes) over all token occurrences.
+    * Pure column expressions: per bit, the sign of Σ_tokens (±1). */
   def simhash(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (docId, text) =>
-        val counts = new Array[Int](64)
-        Tokenizer.tokens(text).foreach { t =>
-          val h = mix64(t.hashCode.toLong & 0xffffffffL)
-          var i = 0
-          while (i < 64) {
-            if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
-            i += 1
-          }
-        }
-        var sig = 0L
-        var i = 0
-        while (i < 64) { if (counts(i) > 0) sig |= (1L << i); i += 1 }
-        (docId, sig)
-      }.toDF("doc_id", "simhash")
+    val toks = Builder.tokensCol(col("text"))
+    // per-token 60-bit hash, computed once per token occurrence
+    val hs = transform(toks, t => CrossHash.h60(t))
+    // counts(i) = Σ over tokens of (bit i set ? +1 : -1); sig bit = count > 0
+    val sigBits = (0 until 60).map { i =>
+      val c = aggregate(hs, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L,
+          lit(1L)).otherwise(lit(-1L)))
+      when(c > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    docs.select(col("doc_id"), sigBits.reduce(_ + _).as("simhash"))
   }
 }

@@ -61,16 +61,18 @@ object TextOps {
 
   /** Rolling polynomial fingerprint over tokens (doc-level dedup key that
     * ignores whitespace/punctuation differences): base-31 polynomial of
-    * token hashes mod 1e9+7. Modular form keeps every intermediate well
-    * inside Long range (Spark 4 ANSI mode turns overflow into a job
-    * failure, so wrapping arithmetic is not an option). */
+    * h60 token hashes mod 1e9+7. Modular form keeps every intermediate
+    * well inside Long range (Spark 4 ANSI mode turns overflow into a job
+    * failure, so wrapping arithmetic is not an option), and h60 makes the
+    * value bit-identical in the DuckDB oracle. */
   def fingerprint(docs: DataFrame): DataFrame = {
     val M = 1000000007L
     val toks = Builder.tokensCol(col("text"))
     docs.select(
       col("doc_id"),
       aggregate(toks, lit(0L),
-        (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(M)), lit(M)))
+        (acc, t) => pmod(acc * lit(31L) +
+          pmod(graft.util.CrossHash.h60(t), lit(M)), lit(M)))
         .as("fingerprint"))
   }
 }

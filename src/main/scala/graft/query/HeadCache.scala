@@ -2,24 +2,39 @@ package graft.query
 
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.index.{Bm25, Builder, PostingBlock}
+import graft.index.{Bm25, Builder}
+import graft.util.Fs
 
 /** Head-term result cache — the depth-k cache analog
   * (/root/reference/src/gin_gin.c:887-1304 precomputes the SA forks of
   * every string up to depth k so queries bootstrap past their suffix).
-  * Here: the top-K results of every HEAD term (df >= minDf) are
-  * precomputed at build time; a single-term query whose term is cached
-  * is answered without touching postings at all. Head terms are exactly
-  * the expensive ones (longest posting lists), so the cache converts the
-  * worst-case single-term latency into a map lookup — same cost shape as
-  * the reference's cache (big, cheap to consult, optional).
   *
-  * Layout: `indexDir/head_cache/` (term, rank, doc_id, score) + a
-  * `_COMMIT_head_cache` marker carrying (minDf, k).
+  * Depth 1: the top-K results of every HEAD term (df >= minDf) are
+  * precomputed at build time; a single-term query whose term is cached
+  * is answered without touching postings. Head terms are exactly the
+  * expensive ones (longest posting lists), so the cache converts the
+  * worst-case single-term latency into a map lookup.
+  *
+  * Depth 2: the top-K conjunctive (AND) results of every PAIR of the
+  * `maxPairTerms` most frequent head terms — the reference caches every
+  * string up to depth ~12 for the same reason: frequent multi-term
+  * prefixes are the expensive real-world queries.
+  *
+  * The build is fully distributed (r1 fix): blocks decode on executors,
+  * scores reduce through the bounded TopKAgg grouped by term — the
+  * driver never collects posting lists. Scoring runs in JVM code through
+  * the SAME Bm25 helpers the WAND loop uses, so cached results are
+  * bit-identical to a live search.
+  *
+  * Layout: `indexDir/head_cache/` (term, rank, doc_id, score),
+  * `indexDir/head_cache2/` (term_a, term_b, rank, doc_id, score), with
+  * `_COMMIT_head_cache` / `_COMMIT_head_cache2` markers carrying (minDf,
+  * k) / (n, k).
   */
 object HeadCache {
 
-  /** Precompute top-k for all terms with df >= minDf. */
+  /** Precompute depth-1 top-k for all terms with df >= minDf.
+    * Distributed: decode -> JVM-exact score -> TopKAgg by term. */
   def build(spark: SparkSession, indexDir: String, minDf: Long, k: Int): Unit = {
     import spark.implicits._
     val handle = IndexHandle.open(spark, indexDir)
@@ -28,32 +43,85 @@ object HeadCache {
       spark.read.parquet(s"$indexDir/dictionary")
         .filter(col("df") >= minDf)
         .select("term", "df").as[(String, Long)].collect().toSeq
-    val byTerm = handle.blocksFor(headTerms.map(_._1))
-      .select("term", "block_id", "doc_id_base", "doc_id_max", "num_docs",
-        "max_tf", "min_dl", "doc_deltas", "tfs", "dls")
-      .as[PostingBlock].collect()
-      .groupBy(_.term).map { case (t, bs) => t -> bs.sortBy(_.doc_id_base) }
-    val rows = headTerms.flatMap { case (t, df) =>
-      val tb = Wand.TermBlocks(t, Bm25.idf(stats.n_docs, df),
-        byTerm.getOrElse(t, Array.empty))
-      val (hits, _) = Wand.topK(Seq(tb), k, stats.avgdl, Wand.Or)
-      hits.zipWithIndex.map { case (s, i) => (t, i + 1, s.doc_id, s.score) }
+    if (headTerms.isEmpty) {
+      Seq.empty[(String, Int, Long, Double)]
+        .toDF("term", "rank", "doc_id", "score")
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/head_cache")
+    } else {
+      val idfB = spark.sparkContext.broadcast(
+        headTerms.map { case (t, df) => t -> Bm25.idf(stats.n_docs, df) }.toMap)
+      val avgdl = stats.avgdl
+      val postings = handle.blocksFor(headTerms.map(_._1))
+        .select(col("term"),
+          graft.functions.DecodePostings.rows(col("num_docs"),
+            col("doc_deltas"), col("tfs"), col("dls"))
+            .as(Seq("doc_id", "tf", "dl")))
+        .as[(String, Long, Int, Int)]
+      val topk = new TopKAgg(k)
+      postings
+        .map { case (t, d, tf, dl) =>
+          (t, d, Bm25.round6(idfB.value(t) * (Bm25.K1 + 1.0) *
+            Bm25.tfNorm(tf, dl, avgdl)))
+        }
+        .groupByKey(_._1)
+        .mapValues(r => Scored(r._2, r._3))
+        .agg(topk.toColumn.name("topk"))
+        .flatMap { case (t, hits) =>
+          hits.zipWithIndex.map { case (s, i) => (t, i + 1, s.doc_id, s.score) }
+        }
+        .toDF("term", "rank", "doc_id", "score")
+        .coalesce(4)
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/head_cache")
     }
-    rows.toDF("term", "rank", "doc_id", "score")
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/head_cache")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(indexDir, "_COMMIT_head_cache"),
+    Fs.write(spark, s"$indexDir/_COMMIT_head_cache",
       s"""{"minDf":$minDf,"k":$k}""")
     IndexHandle.invalidate(spark, indexDir)
   }
 
-  /** Cached entries loaded by an IndexHandle (term -> ranked hits). */
+  /** Precompute depth-2 top-k for every unordered pair of the
+    * `maxPairTerms` highest-df terms, via the distributed relational
+    * search path (identical ranking semantics to WAND). */
+  def buildPairs(spark: SparkSession, indexDir: String, maxPairTerms: Int,
+                 k: Int, nBuckets: Int = 32): Unit = {
+    import spark.implicits._
+    val top: Seq[String] = spark.read.parquet(s"$indexDir/dictionary")
+      .orderBy(col("df").desc, col("term"))
+      .select("term").as[String].take(maxPairTerms).toSeq
+    val pairs: Seq[(String, String)] = for {
+      i <- top.indices; j <- (i + 1) until top.length
+    } yield if (top(i) < top(j)) (top(i), top(j)) else (top(j), top(i))
+    if (pairs.isEmpty) {
+      Seq.empty[(String, String, Int, Long, Double)]
+        .toDF("term_a", "term_b", "rank", "doc_id", "score")
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/head_cache2")
+    } else {
+      val queries = pairs.zipWithIndex.map { case ((a, b), i) =>
+        Searcher.Query(i.toLong, s"$a $b")
+      }
+      val byId = pairs.zipWithIndex.map { case (p, i) => i.toLong -> p }.toMap
+      val byIdB = spark.sparkContext.broadcast(byId)
+      Searcher.searchTopKRelational(spark, indexDir, queries, k,
+          Searcher.And, nBuckets)
+        .as[(Long, Int, Long, Double)]
+        .map { case (qid, rank, doc, score) =>
+          val (a, b) = byIdB.value(qid)
+          (a, b, rank, doc, score)
+        }
+        .toDF("term_a", "term_b", "rank", "doc_id", "score")
+        .coalesce(4)
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/head_cache2")
+    }
+    Fs.write(spark, s"$indexDir/_COMMIT_head_cache2",
+      s"""{"n":$maxPairTerms,"k":$k}""")
+    IndexHandle.invalidate(spark, indexDir)
+  }
+
+  /** Depth-1 entries loaded by an IndexHandle (term -> ranked hits). */
   def load(spark: SparkSession, indexDir: String): (Map[String, Seq[Scored]], Int) = {
     import spark.implicits._
-    val p = java.nio.file.Paths.get(indexDir, "_COMMIT_head_cache")
-    if (!java.nio.file.Files.exists(p)) return (Map.empty, 0)
-    val meta = java.nio.file.Files.readString(p)
+    val marker = s"$indexDir/_COMMIT_head_cache"
+    if (!Fs.exists(spark, marker)) return (Map.empty, 0)
+    val meta = Fs.read(spark, marker)
     val k = """"k":(\d+)""".r.findFirstMatchIn(meta).map(_.group(1).toInt).getOrElse(0)
     val m = spark.read.parquet(s"$indexDir/head_cache")
       .select("term", "rank", "doc_id", "score")
@@ -63,5 +131,31 @@ object HeadCache {
         t -> rs.sortBy(_._2).map(r => Scored(r._3, r._4)).toSeq
       }
     (m, k)
+  }
+
+  /** Depth-2 entries ((term_a, term_b) sorted -> ranked hits). */
+  def loadPairs(spark: SparkSession, indexDir: String): (Map[(String, String), Seq[Scored]], Int) = {
+    import spark.implicits._
+    val marker = s"$indexDir/_COMMIT_head_cache2"
+    if (!Fs.exists(spark, marker)) return (Map.empty, 0)
+    val meta = Fs.read(spark, marker)
+    val k = """"k":(\d+)""".r.findFirstMatchIn(meta).map(_.group(1).toInt).getOrElse(0)
+    val m = spark.read.parquet(s"$indexDir/head_cache2")
+      .select("term_a", "term_b", "rank", "doc_id", "score")
+      .as[(String, String, Int, Long, Double)].collect()
+      .groupBy(r => (r._1, r._2))
+      .map { case (p, rs) =>
+        p -> rs.sortBy(_._3).map(r => Scored(r._4, r._5)).toSeq
+      }
+    (m, k)
+  }
+
+  /** Drop both cache levels (incremental ingest invalidation: stale
+    * cached results must not shadow newly ingested documents). */
+  def invalidate(spark: SparkSession, indexDir: String): Unit = {
+    Fs.delete(spark, s"$indexDir/_COMMIT_head_cache")
+    Fs.delete(spark, s"$indexDir/head_cache")
+    Fs.delete(spark, s"$indexDir/_COMMIT_head_cache2")
+    Fs.delete(spark, s"$indexDir/head_cache2")
   }
 }

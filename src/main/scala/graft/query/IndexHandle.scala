@@ -25,11 +25,13 @@ class IndexHandle private (
     val dir: String,
     fallbackBuckets: Int) {
 
-  /** Layout params from the index's own _META.json (self-describing). */
+  /** Layout params from the index's own _META.json (self-describing).
+    * Read through the Hadoop FS API so index dirs work on any supported
+    * filesystem (HDFS/S3A/local), not just java.io paths. */
   val nBuckets: Int = {
-    val p = java.nio.file.Paths.get(dir, "_META.json")
-    if (java.nio.file.Files.exists(p)) {
-      val s = java.nio.file.Files.readString(p)
+    val p = s"$dir/_META.json"
+    if (graft.util.Fs.exists(spark, p)) {
+      val s = graft.util.Fs.read(spark, p)
       """"nBuckets":(\d+)""".r.findFirstMatchIn(s)
         .map(_.group(1).toInt).getOrElse(fallbackBuckets)
     } else fallbackBuckets
@@ -59,14 +61,7 @@ class IndexHandle private (
     spark.conf.getOption("graft.postings.persistCap")
       .map(_.toLong).getOrElse(8L << 30)
 
-  private def dirBytes(p: String): Long = {
-    val root = new java.io.File(p)
-    def walk(f: java.io.File): Long =
-      if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
-    if (root.exists()) walk(root) else 0L
-  }
-
-  val postingsBytes: Long = dirBytes(s"$dir/postings")
+  val postingsBytes: Long = graft.util.Fs.dirBytes(spark, s"$dir/postings")
   val postingsResident: Boolean = postingsBytes <= PersistCap
 
   /** Posting blocks: persisted when they fit the cap, else a lazy
@@ -101,6 +96,11 @@ class IndexHandle private (
   /** Head-term result cache (present only if HeadCache.build ran). */
   lazy val headCache: (Map[String, Seq[Scored]], Int) =
     HeadCache.load(spark, dir)
+
+  /** Head-pair (depth-2) result cache (present only if
+    * HeadCache.buildPairs ran). */
+  lazy val headCache2: (Map[(String, String), Seq[Scored]], Int) =
+    HeadCache.loadPairs(spark, dir)
 
   /** df per term for the given terms (absent term = absent key). */
   def dfOf(terms: Seq[String]): Map[String, Long] = dictInMemory match {

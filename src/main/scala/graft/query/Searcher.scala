@@ -30,12 +30,11 @@ object Searcher {
 
   case class Query(query_id: Long, text: String)
   case class QueryTerm(query_id: Long, term: String, idf: Double, n_terms: Int)
-  // not private: Catalyst codegen must be able to construct it
-  case class BlockMeta(term: String, doc_id_base: Long, doc_id_max: Long)
 
-  /** Max block-metadata rows the driver will collect for pruning; above
-    * this we fall back to the fully distributed (unpruned) plan. */
-  val MetaCap = 200000
+  /** Max merged intervals the driver sees PER TERM from the distributed
+    * interval aggregation (coarsened beyond this — still sound, see
+    * IntervalAgg). Bounds driver memory regardless of index size. */
+  val MaxIvPerTerm = 512
 
   sealed trait Mode
   case object And extends Mode // posting-list intersection (north rule)
@@ -89,15 +88,26 @@ object Searcher {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "query_id BIGINT, rank INT, doc_id BIGINT, score DOUBLE"))
-    // head-cache fast path (Q9/Q10 analog): single-term queries on
-    // cached head terms are answered without touching postings
+    // head-cache fast path (Q9/Q10 analog): single-term queries on cached
+    // head terms, and 2-term AND queries on cached head PAIRS (the
+    // reference's depth-k cache bootstraps multi-char prefixes the same
+    // way, /root/reference/src/gin_gin.c:1021-1304), answered without
+    // touching postings
     val (cacheMap, cacheK) = handle.headCache
-    val (cachedQs, liveQs) = live.partition { case (_, ts) =>
+    val (cache2Map, cacheK2) = handle.headCache2
+    def cachedFor(ts: Seq[String]): Option[Seq[Scored]] = {
       val present = ts.filter(dict.contains)
-      present.size == 1 && k <= cacheK && cacheMap.contains(present.head)
+      if (present.size == 1 && k <= cacheK) cacheMap.get(present.head)
+      else if (present.size == 2 && mode == And && k <= cacheK2) {
+        val (a, b) = (present(0), present(1))
+        cache2Map.get(if (a < b) (a, b) else (b, a))
+      } else None
+    }
+    val (cachedQs, liveQs) = live.partition { case (_, ts) =>
+      cachedFor(ts).isDefined
     }
     val cachedRows = cachedQs.toSeq.flatMap { case (qid, ts) =>
-      cacheMap(ts.filter(dict.contains).head).take(k).zipWithIndex
+      cachedFor(ts).get.take(k).zipWithIndex
         .map { case (s, i) => (qid, i + 1, s.doc_id, s.score) }
     }
 
@@ -240,82 +250,53 @@ object Searcher {
       .select("query_id", "rank", "doc_id", "score", "repo", "path", "commit")
   }
 
-  /** Driver-side interval-intersection pruning on block metadata.
-    * For each live query: merge each term's block [base,max] intervals,
-    * intersect across terms, keep blocks overlapping the intersection.
-    * Falls back to no pruning above MetaCap metadata rows. */
-  private def pruneBlocks(spark: SparkSession, blocks: DataFrame,
+  /** Interval-intersection pruning on block metadata (AND only), with NO
+    * driver-size cliff: per-term block [base,max] intervals are merged
+    * DISTRIBUTEDLY by IntervalAgg (each term reports <= MaxIvPerTerm
+    * coarsened intervals — metadata rows never collect to the driver),
+    * the tiny per-query interval intersection runs on the driver, and the
+    * surviving intervals semi-join the block table via a broadcast range
+    * join. The shape scales with |query terms| · MaxIvPerTerm, not with
+    * index size. */
+  private[graft] def pruneBlocks(spark: SparkSession, blocks: DataFrame,
       live: Map[Long, Seq[String]], dict: Map[String, Long]): DataFrame = {
     import spark.implicits._
-    val approxBlocks = dict.values.map(df => df / 64 + 1).sum
-    if (approxBlocks > MetaCap) return blocks
-    val meta = blocks.select("term", "doc_id_base", "doc_id_max")
-      .as[BlockMeta].collect()
-    if (meta.length > MetaCap) return blocks
-    val byTerm: Map[String, Array[BlockMeta]] = meta.groupBy(_.term)
-    val surviving = scala.collection.mutable.HashSet.empty[(String, Long)]
+    val ivAgg = new IntervalAgg(MaxIvPerTerm)
+    val perTerm: Map[String, Array[(Long, Long)]] =
+      blocks.select($"term", $"doc_id_base", $"doc_id_max")
+        .as[(String, Long, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(ivAgg.toColumn.name("iv"))
+        .collect().map { case (t, iv) => t -> iv.toArray }.toMap
+    val survByTerm =
+      scala.collection.mutable.HashMap.empty[String,
+        scala.collection.mutable.ArrayBuffer[(Long, Long)]]
     live.foreach { case (_, ts) =>
-      val present = ts.filter(byTerm.contains)
+      val present = ts.filter(perTerm.contains)
       if (present.nonEmpty && present.size == ts.size) {
-        // intersect merged interval lists across terms
-        var acc: Array[(Long, Long)] =
-          mergeIntervals(byTerm(present.head).map(b => (b.doc_id_base, b.doc_id_max)))
-        present.tail.foreach { t =>
-          val iv = mergeIntervals(byTerm(t).map(b => (b.doc_id_base, b.doc_id_max)))
-          acc = intersectIntervals(acc, iv)
-        }
-        present.foreach { t =>
-          byTerm(t).foreach { b =>
-            if (overlapsAny(acc, b.doc_id_base, b.doc_id_max))
-              surviving += ((t, b.doc_id_base))
-          }
+        var acc = perTerm(present.head)
+        present.tail.foreach { t => acc = Intervals.intersect(acc, perTerm(t)) }
+        if (acc.nonEmpty) present.foreach { t =>
+          survByTerm.getOrElseUpdate(t,
+            scala.collection.mutable.ArrayBuffer.empty) ++= acc
         }
       }
     }
-    if (surviving.isEmpty) blocks.filter(lit(false))
-    else {
-      val surv = surviving.toSeq.toDF("term", "doc_id_base")
-      blocks.join(broadcast(surv), Seq("term", "doc_id_base"), "left_semi")
+    if (survByTerm.isEmpty) return blocks.filter(lit(false))
+    val ivRows = survByTerm.toSeq.flatMap { case (t, iv) =>
+      Intervals.merge(iv.toArray).map { case (lo, hi) => (t, lo, hi) }
     }
+    val ivDf = broadcast(ivRows.toDF("t", "lo", "hi"))
+    blocks.join(ivDf,
+      blocks("term") === ivDf("t") && blocks("doc_id_max") >= ivDf("lo") &&
+        blocks("doc_id_base") <= ivDf("hi"), "left_semi")
   }
 
-  /** Sort + coalesce overlapping intervals — the fork-compaction analog
-    * (/root/reference/src/gin_gin.c:725-743). */
-  def mergeIntervals(iv: Array[(Long, Long)]): Array[(Long, Long)] = {
-    if (iv.isEmpty) return iv
-    val s = iv.sortBy(_._1)
-    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)](s.head)
-    s.tail.foreach { case (lo, hi) =>
-      val (plo, phi) = out.last
-      if (lo <= phi + 1) out(out.length - 1) = (plo, math.max(phi, hi))
-      else out += ((lo, hi))
-    }
-    out.toArray
-  }
-
-  /** Intersection of two merged interval lists (both sorted). */
-  def intersectIntervals(a: Array[(Long, Long)], b: Array[(Long, Long)]): Array[(Long, Long)] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-    var i = 0; var j = 0
-    while (i < a.length && j < b.length) {
-      val lo = math.max(a(i)._1, b(j)._1)
-      val hi = math.min(a(i)._2, b(j)._2)
-      if (lo <= hi) out += ((lo, hi))
-      if (a(i)._2 < b(j)._2) i += 1 else j += 1
-    }
-    out.toArray
-  }
-
-  private def overlapsAny(merged: Array[(Long, Long)], lo: Long, hi: Long): Boolean = {
-    // binary search over sorted disjoint intervals
-    var l = 0; var r = merged.length - 1
-    while (l <= r) {
-      val m = (l + r) >>> 1
-      val (mlo, mhi) = merged(m)
-      if (mhi < lo) l = m + 1
-      else if (mlo > hi) r = m - 1
-      else return true
-    }
-    false
-  }
+  /** Back-compat aliases for the interval algebra (moved to Intervals). */
+  def mergeIntervals(iv: Array[(Long, Long)]): Array[(Long, Long)] =
+    Intervals.merge(iv)
+  def intersectIntervals(a: Array[(Long, Long)],
+                         b: Array[(Long, Long)]): Array[(Long, Long)] =
+    Intervals.intersect(a, b)
 }

@@ -119,8 +119,7 @@ object Wand {
   case class QueryStats(blocksTotal: Int, blocksDecoded: Int,
                         docsScored: Long)
 
-  private def round6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def round6(x: Double): Double = Bm25.round6(x)
 
   /** Exact top-k. Returns ((doc_id, score6) ranked, stats). */
   def topK(terms: Seq[TermBlocks], k: Int, avgdl: Double,

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import graft.index.Builder
+import graft.query.IndexHandle
+import graft.util.Fs
+
+/** Segment compaction — folds the per-micro-batch stream segments
+  * (`postings/segment=s<batchId>`) back into the canonical `nSegments`
+  * bucket-group segments the batch builder writes, so read-side merge
+  * cost stays O(nSegments) instead of growing with ingest age. The
+  * reference analog is the IMT pre-merge of per-node interval lists
+  * (/root/reference/src/gin_interval_merge_tree.c:261-302): pay once at
+  * (re)build, serve merged forever after.
+  *
+  * Rebuilds each segment from postings_raw (which idempotent ingest keeps
+  * complete), writes to `postings_compact`, then atomically swaps the
+  * directories. A compacted index is logically equal (Builder.indexEqual)
+  * to a from-scratch batch build over the same documents.
+  */
+object Compactor {
+
+  def compact(spark: SparkSession, indexDir: String,
+              conf: Builder.Config): Unit = {
+    val stats = Builder.loadStats(spark, indexDir)
+    val nPart = if (conf.shufflePartitions > 0) conf.shufflePartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val tmpDir = s"$indexDir/postings_compact"
+    Fs.delete(spark, tmpDir)
+
+    for (g <- 0 until conf.nSegments)
+      Builder.encodeSegment(spark, s"$indexDir/dictionary",
+        s"$indexDir/postings_raw", s"$tmpDir/segment=$g", g, conf,
+        stats.n_docs, stats.avgdl, nPart)
+
+    // swap: retire the old segment tree, promote the compacted one
+    Fs.delete(spark, s"$indexDir/postings_old")
+    Fs.rename(spark, s"$indexDir/postings", s"$indexDir/postings_old")
+    Fs.rename(spark, tmpDir, s"$indexDir/postings")
+    Fs.delete(spark, s"$indexDir/postings_old")
+    Fs.write(spark, s"$indexDir/_COMMIT_compact", s"""{"nSegments":${conf.nSegments}}""")
+    IndexHandle.invalidate(spark, indexDir)
+  }
+}

@@ -3,9 +3,9 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import java.nio.file.{Files, Paths}
-import graft.index.{Builder, DocMeta, Posting, Tokenizer}
-import graft.query.IndexHandle
+import graft.index.{Builder, CorpusRow, Posting, Tokenizer}
+import graft.query.{HeadCache, IndexHandle}
+import graft.util.Fs
 
 /** Incremental index ingest via Structured Streaming.
   *
@@ -21,9 +21,16 @@ import graft.query.IndexHandle
   * upper-bounds scores for ANY avgdl, so stats drift across batches
   * cannot break pruning exactness.
   *
-  * Idempotent per micro-batch (`_COMMIT_stream_batch_<id>` markers), so
-  * foreachBatch retries after failures are safe — the streaming analog
-  * of the resumable batch build.
+  * Idempotency (r2 hardening): appends are staged then promoted with
+  * batch-prefixed filenames (Fs.promoteStaged deletes this batch's files
+  * before moving), the dictionary delta-merge is guarded by a per-batch
+  * marker with an undo log, and every step is re-runnable — a
+  * foreachBatch retry after ANY partial failure converges to the same
+  * state. Per-batch cost is O(batch) + O(vocabulary) (the dictionary
+  * merge reads the current dictionary, never the full postings_raw).
+  *
+  * The head-term result caches are invalidated on every ingest: stale
+  * cached top-k must not shadow newly ingested documents.
   */
 object IncrementalIndexer {
 
@@ -42,36 +49,46 @@ object IncrementalIndexer {
   def ingestBatch(spark: SparkSession, batch: DataFrame, indexDir: String,
                   conf: Builder.Config, batchId: Long): Unit = {
     import spark.implicits._
-    val marker = s"_COMMIT_stream_batch_$batchId"
-    if (Files.exists(Paths.get(indexDir, marker))) return
+    val marker = s"$indexDir/_COMMIT_stream_batch_$batchId"
+    if (Fs.exists(spark, marker)) return
+    recoverDictionary(spark, indexDir)
     if (batch.isEmpty) {
-      Files.createDirectories(Paths.get(indexDir))
-      Files.writeString(Paths.get(indexDir, marker), "{}")
+      Fs.write(spark, marker, "{}")
       return
     }
 
     // bootstrap: first data ever -> plain batch build
-    if (!Files.exists(Paths.get(indexDir, "_COMMIT_index"))) {
+    if (!Fs.exists(spark, s"$indexDir/_COMMIT_index")) {
       Builder.build(spark, batch, indexDir, conf)
-      Files.writeString(Paths.get(indexDir, marker), """{"bootstrap":true}""")
+      Fs.write(spark, marker, """{"bootstrap":true}""")
       IndexHandle.invalidate(spark, indexDir)
       return
     }
 
     val nPart = if (conf.shufflePartitions > 0) conf.shufflePartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val base = Builder.loadStats(spark, indexDir).n_docs
+    // the doc-id base is pinned in a per-batch marker BEFORE any append:
+    // a retry after a partial failure must reuse the original base (stats
+    // may already reflect this batch's docmeta append), or ids would
+    // shift between attempts and the promoted files would disagree
+    val baseMarker = s"$indexDir/_BASE_b$batchId"
+    val base =
+      if (Fs.exists(spark, baseMarker)) Fs.read(spark, baseMarker).trim.toLong
+      else {
+        val b = Builder.loadStats(spark, indexDir).n_docs
+        Fs.write(spark, baseMarker, b.toString)
+        b
+      }
+    val staging = s"$indexDir/_staging_b$batchId"
+    val prefix = s"b${batchId}_"
 
-    // ids continue above every existing doc id
+    // ids continue above every existing doc id; dl/sha derived in the
+    // same pass (the snapshot schema, graft.index.CorpusRow)
     val withIds = Builder.withDocIds(batch)
       .withColumn("doc_id", col("doc_id") + base)
       .select("doc_id", "repo", "path", "commit", "lang", "content")
       .repartition(nPart)
-      .cache()
-
-    withIds.write.mode(SaveMode.Append).parquet(s"$indexDir/corpus_ids")
-
-    withIds.as[(Long, String, String, String, String, String)]
+      .as[(Long, String, String, String, String, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("SHA-256")
         it.map { case (id, repo, path, commitId, lang, content) =>
@@ -79,20 +96,32 @@ object IncrementalIndexer {
           md.reset()
           val sha = md.digest(content.getBytes("UTF-8"))
             .map("%02x".format(_)).mkString
-          DocMeta(id, repo, path, commitId, lang, dl, sha)
+          CorpusRow(id, repo, path, commitId, lang, dl, sha, content)
         }
       }
-      .write.mode(SaveMode.Append).parquet(s"$indexDir/docmeta")
+      .toDF()
+      .cache()
+
+    // staged append -> promote under batch-prefixed filenames (idempotent)
+    withIds.write.mode(SaveMode.Overwrite).parquet(s"$staging/corpus_ids")
+    Fs.promoteStaged(spark, s"$staging/corpus_ids",
+      s"$indexDir/corpus_ids", prefix)
+
+    withIds
+      .select("doc_id", "repo", "path", "commit", "lang", "dl",
+        "content_sha256")
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/docmeta")
+    Fs.promoteStaged(spark, s"$staging/docmeta", s"$indexDir/docmeta", prefix)
 
     val nDocsBatch = withIds.count()
 
-    // stats refresh (reads docmeta, writes stats: no self-overwrite)
+    // stats refresh (reads docmeta, writes stats: derived, idempotent)
     spark.read.parquet(s"$indexDir/docmeta")
       .agg(count(lit(1)).as("n_docs"), avg(col("dl").cast("double")).as("avgdl"))
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats")
     val avgdl = Builder.loadStats(spark, indexDir).avgdl
 
-    // delta postings -> raw append + one new block segment
+    // delta postings -> staged raw append + one new block segment
     val raw = withIds.select(col("doc_id"), col("content"))
       .as[(Long, String)]
       .flatMap { case (id, content) =>
@@ -112,8 +141,10 @@ object IncrementalIndexer {
       .withColumn("bucket", Builder.bucketOf(col("term"), conf.nBuckets))
       .cache()
     raw.repartition(nPart, col("bucket"))
-      .write.mode(SaveMode.Append).partitionBy("bucket")
-      .parquet(s"$indexDir/postings_raw")
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(s"$staging/postings_raw")
+    Fs.promoteStaged(spark, s"$staging/postings_raw",
+      s"$indexDir/postings_raw", prefix)
 
     raw.repartition(nPart, xxhash64(col("term")))
       .sortWithinPartitions("term", "doc_id")
@@ -124,19 +155,65 @@ object IncrementalIndexer {
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$indexDir/postings/segment=s$batchId")
 
-    // dictionary refresh from the appended raw table (no self-read)
-    spark.read.parquet(s"$indexDir/postings_raw")
-      .groupBy("term")
+    // dictionary delta-merge: O(batch + vocabulary), NOT O(postings_raw)
+    val delta = raw.groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
-      .withColumn("bucket", Builder.bucketOf(col("term"), conf.nBuckets))
-      .repartition(math.min(nPart, conf.nBuckets), col("bucket"))
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
-      .parquet(s"$indexDir/dictionary")
+    applyDictDelta(spark, indexDir, delta, batchId, nPart, conf.nBuckets)
 
     raw.unpersist()
     withIds.unpersist()
-    Files.writeString(Paths.get(indexDir, marker),
-      s"""{"docs":$nDocsBatch,"base":$base}""")
+    // stale cached top-k must not shadow the new docs (and df/avgdl moved)
+    HeadCache.invalidate(spark, indexDir)
+    Fs.write(spark, marker, s"""{"docs":$nDocsBatch,"base":$base}""")
+    Fs.delete(spark, baseMarker)
     IndexHandle.invalidate(spark, indexDir)
+  }
+
+  /** Apply a (term, df, cf) delta to `indexDir/dictionary` exactly once
+    * per batch. Steps (each re-runnable):
+    *   1. skip if `_COMMIT_dict_b<id>` exists (already applied);
+    *   2. write old ∪ delta summed -> dictionary_new (overwrite);
+    *   3. rename dictionary -> dictionary_undo_b<id> (undo log);
+    *   4. rename dictionary_new -> dictionary;
+    *   5. write the marker; 6. drop the undo log.
+    * recoverDictionary() heals a crash between any two steps. */
+  private def applyDictDelta(spark: SparkSession, indexDir: String,
+      delta: DataFrame, batchId: Long, nPart: Int, nBuckets: Int): Unit = {
+    val dictMarker = s"$indexDir/_COMMIT_dict_b$batchId"
+    val dict = s"$indexDir/dictionary"
+    val undo = s"$indexDir/dictionary_undo_b$batchId"
+    if (Fs.exists(spark, dictMarker)) {
+      Fs.delete(spark, undo) // crash between steps 5 and 6: drop stale log
+      return
+    }
+    if (Fs.exists(spark, undo)) {
+      // previous attempt got past step 3: roll back to the pre-batch dict
+      Fs.delete(spark, dict)
+      Fs.rename(spark, undo, dict)
+      Fs.delete(spark, s"$indexDir/dictionary_new")
+    }
+    spark.read.parquet(dict)
+      .select("term", "df", "cf")
+      .unionByName(delta.select("term", "df", "cf"))
+      .groupBy("term")
+      .agg(sum("df").as("df"), sum("cf").as("cf"))
+      .withColumn("bucket", Builder.bucketOf(col("term"), nBuckets))
+      .repartition(math.min(nPart, nBuckets), col("bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(s"$indexDir/dictionary_new")
+    Fs.rename(spark, dict, undo)
+    Fs.rename(spark, s"$indexDir/dictionary_new", dict)
+    Fs.write(spark, dictMarker, "{}")
+    Fs.delete(spark, undo)
+  }
+
+  /** Heal a dictionary swap interrupted between applyDictDelta steps. */
+  private def recoverDictionary(spark: SparkSession, indexDir: String): Unit = {
+    val dict = s"$indexDir/dictionary"
+    if (Fs.exists(spark, dict)) return
+    val dictNew = s"$indexDir/dictionary_new"
+    if (Fs.exists(spark, dictNew)) { Fs.rename(spark, dictNew, dict); return }
+    Fs.list(spark, indexDir).find(_.getName.startsWith("dictionary_undo_b"))
+      .foreach(p => Fs.rename(spark, p.toString, dict))
   }
 }

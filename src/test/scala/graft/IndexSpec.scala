@@ -90,6 +90,52 @@ class IndexSpec extends SparkTestBase {
     assert(cached == rel)
   }
 
+  test("head cache is built distributedly (no posting collect) even non-resident") {
+    import graft.query.{HeadCache, IndexHandle}
+    // force the non-resident handle path: cache build must still work
+    // without pinning blocks in memory (and never collects posting lists)
+    spark.conf.set("graft.postings.persistCap", "1")
+    val d = tmpDir("graft-hc-nonres")
+    try {
+      Builder.build(spark, Synth.corpus(spark, 150, seed = 11L), d,
+        Builder.Config(blockSize = 16, nBuckets = 8, nSegments = 2, saltTarget = 40))
+      HeadCache.build(spark, d, minDf = 40, k = 5)
+      val h = IndexHandle.open(spark, d, 8)
+      assert(!h.postingsResident)
+      val (cacheMap, k) = h.headCache
+      assert(cacheMap.nonEmpty && k == 5)
+      // cached answer == live relational answer
+      val t = cacheMap.keys.head
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("rank").collect()
+          .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      val cached = rows(Searcher.searchTopKWand(spark, d,
+        Seq(Query(1, t)), 5, Searcher.And, 8))
+      val rel = rows(Searcher.searchTopKRelational(spark, d,
+        Seq(Query(1, t)), 5, Searcher.And, 8))
+      assert(cached == rel)
+      h.close()
+    } finally spark.conf.unset("graft.postings.persistCap")
+  }
+
+  test("head pair cache (depth 2): cached 2-term AND identical to live search") {
+    import graft.query.{HeadCache, IndexHandle}
+    HeadCache.buildPairs(spark, indexDir, maxPairTerms = 6, k = 10, nBuckets = 8)
+    val handle = IndexHandle.open(spark, indexDir, 8)
+    val (pairMap, k2) = handle.headCache2
+    assert(pairMap.nonEmpty && k2 == 10)
+    assert(pairMap.contains(("id_0", "id_1")))
+    val qs = Seq(Query(1, "id_0 id_1"), Query(2, "id_1 id_0"), // order-free
+      Query(3, "id_2 id_0"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val cached = rows(Searcher.searchTopKWand(spark, indexDir, qs, 10, Searcher.And, 8))
+    val rel = rows(Searcher.searchTopKRelational(spark, indexDir, qs, 10, Searcher.And, 8))
+    assert(cached == rel)
+    assert(cached.nonEmpty)
+  }
+
   test("posting block ranges are disjoint and sorted per term (WAND invariant)") {
     import spark.implicits._
     val byTerm = spark.read.parquet(s"$indexDir/postings")

@@ -148,12 +148,80 @@ class OpsSpec extends SparkTestBase {
     val bf = Ann.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 40)
       .as[(Long, Int, Long, Double)].collect()
       .map(r => (r._1, r._3) -> r._4).toMap
-    val lsh = Ann.lshTopK(emb.filter(col("vec_id") < 5), emb, 3)
+    val lsh = Ann.lshTopK(emb.filter(col("vec_id") < 5), emb, 3, dims = 8)
       .as[(Long, Int, Long, Double)].collect()
     assert(lsh.nonEmpty)
     lsh.foreach { case (q, _, n, c) =>
       assert(math.abs(bf((q, n)) - c) <= 1e-9) // same cosine where present
     }
+  }
+
+  /** Clustered embeddings: near neighbors share a centroid (the regime
+    * real embedding dedup/search operates in — high top-k cosine). */
+  private def clusteredEmb(n: Int, dims: Int, clusters: Int) = {
+    import spark.implicits._
+    (0L until n.toLong).map { i =>
+      val c = (i % clusters).toInt
+      val v = (0 until dims).map { d =>
+        (math.sin(c * 2.3 + d * 0.7) +
+          0.15 * math.sin(i * 1.7 + d * 1.3)).toFloat
+      }
+      (i, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("multi-table LSH recall >= 0.9 vs brute force at k=5") {
+    import spark.implicits._
+    val emb = clusteredEmb(200, 16, 12)
+    val queries = emb.filter(col("vec_id") < 20)
+    val bf = Ann.bruteForceTopK(queries, emb, 5)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => (r._1, r._3)).toSet
+    val lsh = Ann.lshTopK(queries, emb, 5, nPlanes = 8, nTables = 6, dims = 16)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => (r._1, r._3)).toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("cosineNearDupPairs: bucketed candidates find high-cos pairs, no cartesian") {
+    import spark.implicits._
+    val emb = clusteredEmb(120, 16, 8)
+    val got = Ann.cosineNearDupPairs(emb, minCos = 0.97,
+        nPlanes = 8, nTables = 6, dims = 16)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall { case (a, b, c) => a < b && c >= 0.97 })
+    // plan guard: candidate generation joins on (table, bucket) — never a
+    // cartesian product
+    val plan = Ann.cosineNearDupPairs(emb, 0.97, 8, 6, 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // exact same-cluster pair must be found (recall at cos~1 is ~1)
+    val bf = Ann.bruteForceTopK(emb.filter(col("vec_id") < 8), emb, 1)
+      .as[(Long, Int, Long, Double)].collect()
+    bf.filter(_._4 >= 0.99).foreach { case (q, _, n, _) =>
+      val p = if (q < n) (q, n) else (n, q)
+      assert(got.exists(g => (g._1, g._2) == p), s"missing near-dup $p")
+    }
+  }
+
+  test("jaccardPairs: hot-shingle cap bounds join fan-out, keeps true dups") {
+    import spark.implicits._
+    // poison: one universal boilerplate line in EVERY doc
+    val poisoned = docs.as[(Long, String)]
+      .map { case (id, t) => (id, s"license header boilerplate common $t") }
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(poisoned, k = 3, minJ = 0.9,
+        maxShingleDf = 10L)
+      .as[(Long, Long, Double)].collect()
+    // the seeded exact dup survives (its discriminative shingles are rare)
+    assert(pairs.exists(p => (p._1, p._2) == (3L, 100L)))
+    // candidate volume is bounded by the cap: with every shared-by-all
+    // shingle dropped, no pair can meet on a df>10 shingle
+    val sh = Dedup.shingles(poisoned, 3)
+    val hot = sh.groupBy("shingle").count().filter(col("count") > 10).count()
+    assert(hot > 0) // the poison actually created hot shingles
   }
 
   test("multimodal: stub features deterministic, chunk sampling shaped") {

@@ -61,6 +61,39 @@ class PlanSpec extends SparkTestBase {
     assert(schema == Seq("doc_id", "repo", "path", "commit"))
   }
 
+  test("block pruning is distributed (broadcast interval semi-join, no size cliff)") {
+    import spark.implicits._
+    // 5000 docs: term "rare" only in docs 0..9, "common" in every doc.
+    // AND("rare common") must prune common's blocks to the tiny doc range.
+    val corpus = spark.range(5000).select(
+      lit("r0").as("repo"),
+      format_string("f%08d", col("id")).as("path"),
+      lit("c").as("commit"), lit("x").as("lang"),
+      concat(lit("common filler_a filler_b "),
+        when(col("id") < 10, "rare ").otherwise("")).as("content"))
+    val d = tmpDir("plan-prune")
+    Builder.build(spark, corpus, d,
+      Builder.Config(blockSize = 64, nBuckets = 4, nSegments = 1, saltTarget = 1000000))
+    val h = IndexHandle.open(spark, d, 4)
+    val live = Map(1L -> Seq("rare", "common"))
+    val dict = h.dfOf(Seq("rare", "common"))
+    val all = h.blocksFor(Seq("rare", "common"))
+    val pruned = Searcher.pruneBlocks(spark, all, live, dict)
+    val total = all.count()
+    val kept = pruned.count()
+    assert(kept < total / 3, s"pruning too weak: $kept of $total blocks")
+    // the prune is a broadcast semi-join on (term, interval) — no collect
+    // of block metadata rows, no cartesian, no sort-merge join
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // ranking through the full relational path stays correct
+    val rows = Searcher.searchTopKRelational(spark, d,
+      Seq(Searcher.Query(1, "rare common")), 20, Searcher.And, 4).collect()
+    assert(rows.length == 10) // exactly the 10 docs containing both
+    h.close()
+  }
+
   test("relational scorer: codegen'd hash aggregation + broadcast joins") {
     val df = Searcher.searchTopKRelational(spark, indexDir,
       Seq(Searcher.Query(1, "id_0 id_3")), 5)

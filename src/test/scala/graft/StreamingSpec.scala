@@ -69,5 +69,63 @@ class StreamingSpec extends SparkTestBase {
     assert(meta.count() == 180)
     assert(meta.select("content_sha256").distinct().count() ==
       all.map(_.content).distinct.size)
+
+    // ingest must invalidate the head caches: stale cached top-k would
+    // hide newly ingested docs (r1 ADVICE high)
+    graft.query.HeadCache.build(spark, dir, minDf = 1, k = 10)
+    assert(graft.util.Fs.exists(spark, s"$dir/_COMMIT_head_cache"))
+    IncrementalIndexer.ingestBatch(spark,
+      Seq(Synth.doc(42L, 999L)).toDF(), dir, conf, 77L)
+    assert(!graft.util.Fs.exists(spark, s"$dir/_COMMIT_head_cache"))
+    val (cacheMap, _) = graft.query.HeadCache.load(spark, dir)
+    assert(cacheMap.isEmpty)
+
+    // compaction folds stream segments back into canonical ones; the
+    // compacted index is logically equal to a batch rebuild over the
+    // same docs (dictionary/stats/decoded postings)
+    graft.streaming.Compactor.compact(spark, dir, conf)
+    val segsAfter = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(segsAfter.forall(!_.startsWith("segment=s")), segsAfter.mkString(","))
+    assert(segsAfter.length == conf.nSegments)
+    val fullDir2 = tmpDir("full-idx2")
+    Builder.build(spark, (all :+ Synth.doc(42L, 999L)).toDF(), fullDir2, conf)
+    assert(Builder.indexEqual(spark, dir, fullDir2))
+  }
+
+  test("a partially-failed batch retry converges (idempotent appends + dict delta)") {
+    import spark.implicits._
+    val dir = tmpDir("stream-retry")
+    val conf = Builder.Config(blockSize = 16, nBuckets = 4, nSegments = 1,
+      saltTarget = 40)
+    val b0 = (0L until 50L).map(i => Synth.doc(9L, i))
+    val b1 = (50L until 90L).map(i => Synth.doc(9L, i))
+    IncrementalIndexer.ingestBatch(spark, b0.toDF(), dir, conf, 0L) // bootstrap
+    // snapshot the pre-batch dictionary so we can rewind to a REACHABLE
+    // crash state: all appends + stats done, dictionary not yet merged,
+    // no commit markers (= crash right before applyDictDelta)
+    val snapDir = tmpDir("dict-snap")
+    spark.read.parquet(s"$dir/dictionary")
+      .write.mode("overwrite").partitionBy("bucket").parquet(snapDir)
+    IncrementalIndexer.ingestBatch(spark, b1.toDF(), dir, conf, 1L)
+    graft.util.Fs.delete(spark, s"$dir/_COMMIT_stream_batch_1")
+    graft.util.Fs.delete(spark, s"$dir/_COMMIT_dict_b1")
+    graft.util.Fs.delete(spark, s"$dir/dictionary")
+    graft.util.Fs.rename(spark, snapDir, s"$dir/dictionary")
+    graft.util.Fs.write(spark, s"$dir/_BASE_b1", "50") // pinned on attempt 1
+    // retry the whole batch — staged promotes + the pinned base + dict
+    // undo-log must make this converge, not double-append or shift ids
+    IncrementalIndexer.ingestBatch(spark, b1.toDF(), dir, conf, 1L)
+    val fullDir = tmpDir("stream-retry-full")
+    Builder.build(spark, (b0 ++ b1).toDF(), fullDir, conf)
+    assert(spark.read.parquet(s"$dir/docmeta").count() == 90)
+    assert(spark.read.parquet(s"$dir/corpus_ids").count() == 90)
+    assert(Builder.loadStats(spark, dir) == Builder.loadStats(spark, fullDir))
+    val dictA = spark.read.parquet(s"$dir/dictionary").select("term", "df", "cf")
+    val dictB = spark.read.parquet(s"$fullDir/dictionary").select("term", "df", "cf")
+    assert(dictA.except(dictB).count() == 0 && dictB.except(dictA).count() == 0)
+    // postings_raw did not double-append
+    assert(spark.read.parquet(s"$dir/postings_raw").count() ==
+      spark.read.parquet(s"$fullDir/postings_raw").count())
   }
 }
