@@ -22,7 +22,15 @@ object Gate {
 
   def gateConfig: Builder.Config =
     Builder.Config(blockSize = 128, nBuckets = 16, nSegments = 4,
-      saltTarget = 200, storePositions = true)
+      saltTarget = 200, storePositions = true, storeTrigrams = true)
+
+  /** Fixed substring (cross-token) query set — exact `contains` matching
+    * through the trigram index (q_substring). */
+  val GateSubstrings: Seq[(Long, String)] = Seq(
+    1L -> "merge join",      // cross-token phrase as raw substring
+    2L -> "window stream",   // another cross-token fragment
+    3L -> "zzqx_nothing",    // no match -> empty group
+    4L -> "ag")              // sub-trigram pattern -> verify-scan fallback
 
   // ---- cross-engine op parameters: used by the Spark implementations
   //      AND spliced verbatim into the oracle SQL, so both engines
@@ -31,8 +39,12 @@ object Gate {
   val MinhashN = 32           // minhash permutations
   val MinhashBands = 8        // LSH bands (rows = MinhashN / MinhashBands)
   val MinhashMaxBucket = 1000L // skip degenerate mega-buckets
-  val LshPlanes = 4           // hyperplanes per ANN hash table
-  val LshTables = 24          // OR-ed ANN hash tables (band-OR recall)
+  val LshPlanes = 4           // ANN top-k: few planes, many tables (the
+  val LshTables = 24          //   gate corpus' top-5 cos is ~0.33 — recall
+                              //   at low cos needs band-OR width)
+  val NdPlanes = 6            // near-dup pairs: more planes (smaller
+  val NdTables = 12           //   buckets) — candidate volume stays
+                              //   ~n·tables/2^planes, not quadratic
   val LshDims = 64            // embedding dimensionality
 
   private def H60(e: String): String = graft.util.CrossHash.h60Sql(e)
@@ -51,18 +63,19 @@ object Gate {
     s"($i, $a, $b)"
   }.mkString(", ")
 
-  /** Shared LSH CTEs (DuckDB): integer plane weights from h60 of the same
-    * tag strings Ann.planeWeight uses; embeddings quantized floor(v·1e6);
-    * projections/buckets in exact BIGINT arithmetic — bit-identical to
-    * the Spark side. Also exposes ex/norms for exact-cosine re-ranking. */
-  private val LshCtes: String = s"""
+  /** Shared LSH CTEs (DuckDB), parametrized by (planes, tables): integer
+    * plane weights from h60 of the same tag strings Ann.planeWeight uses;
+    * embeddings quantized floor(v·1e6); projections/buckets in exact
+    * BIGINT arithmetic — bit-identical to the Spark side. Also exposes
+    * ex/norms for exact-cosine re-ranking. */
+  private def lshCtes(planes: Int, tables: Int): String = s"""
     |planes AS (
     |  SELECT tt.t, pp.p, dd.d,
     |         ${H60("'plane_' || CAST(tt.t AS VARCHAR) || '_' || " +
                     "CAST(pp.p AS VARCHAR) || '_' || CAST(dd.d AS VARCHAR)")}
     |           % 2000001 - 1000000 AS w
-    |  FROM (SELECT unnest(range($LshTables)) AS t) tt,
-    |       (SELECT unnest(range($LshPlanes)) AS p) pp,
+    |  FROM (SELECT unnest(range($tables)) AS t) tt,
+    |       (SELECT unnest(range($planes)) AS p) pp,
     |       (SELECT unnest(range($LshDims)) AS d) dd),
     |eq AS (SELECT vec_id, unnest(range(len(embedding))) AS d,
     |              CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
@@ -119,6 +132,10 @@ object Gate {
 
   private val PhValuesSql: String = GatePhrases
     .map(q => s"(${q.query_id}, '${q.text}')").mkString(", ")
+
+  private val SpValuesSql: String = GateSubstrings
+    .map { case (id, p) => s"($id, '${p.replace("'", "''")}')" }
+    .mkString(", ")
 
   // ---- shared SQL prelude (DuckDB): identical corpus mapping,
   //      docID assignment, tokenizer, postings, dict, stats -------------
@@ -290,13 +307,18 @@ object Gate {
 
   def qCosineNearDup(s: SparkSession, dir: String): DataFrame =
     Ann.cosineNearDupPairs(embs(s, dir), minCos = 0.4,
-        nPlanes = LshPlanes, nTables = LshTables, dims = LshDims)
+        nPlanes = NdPlanes, nTables = NdTables, dims = LshDims)
       .select(col("doc_a").cast("long"), col("doc_b").cast("long"),
         col("cos"))
 
   def qSpectrumK3(s: SparkSession, dir: String): DataFrame =
     Dedup.kgramSpectrum(docs(s, dir), 3)
       .select(col("gram"), col("n"))
+
+  def qSubstring(s: SparkSession, dir: String): DataFrame =
+    graft.query.Substring.find(s, indexDir(s, dir), GateSubstrings,
+        nBuckets = gateConfig.nBuckets)
+      .select(col("query_id").cast("long"), col("doc_id").cast("long"))
 
   def qMultimodal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -531,7 +553,7 @@ object Gate {
         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""",
 
     "q_ann_lsh" -> s"""
-      WITH $LshCtes,
+      WITH ${lshCtes(LshPlanes, LshTables)},
       cand AS (
         SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
         FROM buck q JOIN buck c ON q.t = c.t AND q.bucket = c.bucket
@@ -556,7 +578,7 @@ object Gate {
       SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5""",
 
     "q_cosine_neardup" -> s"""
-      WITH $LshCtes,
+      WITH ${lshCtes(NdPlanes, NdTables)},
       cand AS (
         SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
         FROM buck a JOIN buck b
@@ -592,6 +614,11 @@ object Gate {
               p -> t[p + 1] || ' ' || t[p + 2] || ' ' || t[p + 3])) AS gram
             FROM tl WHERE len(t) >= 3)
       SELECT gram, count(*) AS n FROM g GROUP BY 1""",
+
+    "q_substring" -> s"""$Prelude,
+      sp(query_id, pat) AS (VALUES $SpValuesSql)
+      SELECT sp.query_id, i.doc_id
+      FROM sp JOIN ids i ON position(sp.pat IN i.content) > 0""",
 
     "q_ann_cosine" -> """
       WITH ex AS (
@@ -670,5 +697,6 @@ object Gate {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_cosine_neardup" -> (qCosineNearDup _),
     "q_spectrum_k3" -> (qSpectrumK3 _),
+    "q_substring" -> (qSubstring _),
     "q_multimodal" -> (qMultimodal _))
 }

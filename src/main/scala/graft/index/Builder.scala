@@ -43,6 +43,7 @@ object Builder {
       saltTarget: Int = 50000, // max postings of one term per salt bucket
       shufflePartitions: Int = 0, // 0 = leave session value
       storePositions: Boolean = false, // also write positions/ (phrases)
+      storeTrigrams: Boolean = false, // also write trigrams/ (substring)
       verifySegments: Boolean = true) // row-count+checksum readback per
         // segment (2 extra jobs each); benchmarks may disable — resume
         // markers are still written, only their payload stats are empty
@@ -132,7 +133,7 @@ object Builder {
           // not re-scanned by a separate docmeta stage
           val md = java.security.MessageDigest.getInstance("SHA-256")
           it.map { case (id, repo, path, commitId, lang, content) =>
-            val dl = Tokenizer.tokens(content).length
+            val dl = Tokenizer.docLen(content) // allocation-free count
             md.reset()
             val sha = md.digest(content.getBytes("UTF-8"))
               .map("%02x".format(_)).mkString
@@ -162,14 +163,27 @@ object Builder {
     }
 
     // ---- stage 2: stats ----------------------------------------------
+    // computed once (head), persisted as a 1-row table; the marker
+    // payload carries the values so the rest of the build needs no
+    // read-back job
     if (!committed(spark, outDir, "_COMMIT_stats")) timed("stats") {
-      spark.read.parquet(docmetaDir)
+      val st = spark.read.parquet(docmetaDir)
         .agg(count(lit(1)).as("n_docs"), avg(col("dl").cast("double")).as("avgdl"))
-        .coalesce(1)
+        .as[(Long, Double)].head()
+      Seq(Stats(st._1, st._2)).toDS().coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(statsDir)
-      commit(spark, outDir, "_COMMIT_stats")
+      commit(spark, outDir, "_COMMIT_stats",
+        s"""{"n_docs":${st._1},"avgdl":${st._2}}""")
     }
-    val Stats(nDocs, avgdl) = loadStats(spark, outDir)
+    val Stats(nDocs, avgdl) = {
+      val payload = graft.util.Fs.read(spark, s"$outDir/_COMMIT_stats")
+      val n = """"n_docs":(\d+)""".r.findFirstMatchIn(payload).map(_.group(1).toLong)
+      val a = """"avgdl":([-0-9.eE]+)""".r.findFirstMatchIn(payload).map(_.group(1).toDouble)
+      (n, a) match {
+        case (Some(nd), Some(ad)) => Stats(nd, ad)
+        case _ => loadStats(spark, outDir) // marker from an older layout
+      }
+    }
 
     // ---- stage 3: postings_raw ----------------------------------------
     // typed flatMap: per-doc term-frequency map built locally, so the
@@ -181,17 +195,12 @@ object Builder {
       corpusIds("doc_id", "content")
         .as[(Long, String)]
         .flatMap { case (id, content) =>
-          val ts = Tokenizer.tokens(content)
-          val dl = ts.length
-          val m = new java.util.HashMap[String, Int](64)
-          var i = 0
-          while (i < ts.length) { m.merge(ts(i), 1, Integer.sum _); i += 1 }
-          val out = new Array[Posting](m.size)
-          val it = m.entrySet().iterator()
-          var j = 0
-          while (it.hasNext) {
-            val e = it.next()
-            out(j) = Posting(e.getKey, id, e.getValue, dl); j += 1
+          // doc-local tf combine without HashMap nodes or Integer boxing
+          // (allocation rate limits multi-core scaling on JVM executors)
+          val dl = Tokenizer.docLen(content)
+          val out = new ArrayBuffer[Posting](192)
+          Tokenizer.foreachTermFreq(content) { (t, tf) =>
+            out += Posting(t, id, tf, dl)
           }
           out
         }
@@ -240,6 +249,33 @@ object Builder {
         commit(spark, outDir, "_COMMIT_positions")
       }
 
+    // ---- stage 3c (optional): character-trigram table for substring
+    //      (cross-token) queries — the FM-index surface the term index
+    //      cannot serve; one (gram, doc_id) row per DISTINCT trigram per
+    //      doc, bucket-partitioned like terms so query grams push down
+    if (conf.storeTrigrams && !committed(spark, outDir, "_COMMIT_trigrams"))
+      timed("trigrams") {
+        corpusIds("doc_id", "content")
+          .as[(Long, String)]
+          .flatMap { case (id, content) =>
+            val seen = new java.util.HashSet[String](256)
+            val out = ArrayBuffer.empty[(String, Long)]
+            var i = 0
+            while (i + 3 <= content.length) {
+              val g = content.substring(i, i + 3)
+              if (seen.add(g)) out += ((g, id))
+              i += 1
+            }
+            out
+          }
+          .toDF("gram", "doc_id")
+          .withColumn("bucket", bucketOf(col("gram"), conf.nBuckets))
+          .repartition(nPart, col("bucket"))
+          .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+          .parquet(s"$outDir/trigrams")
+        commit(spark, outDir, "_COMMIT_trigrams")
+      }
+
     // ---- stage 4: dictionary -----------------------------------------
     if (!committed(spark, outDir, "_COMMIT_dictionary")) timed("dictionary") {
       spark.read.parquet(rawDir)
@@ -276,8 +312,11 @@ object Builder {
     }
 
     // ---- stage 6: manifest table -------------------------------------
-    manifestRows.toSeq.toDS().coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(manifestDir)
+    // when segment verification is off the rows carry no counts; the
+    // commit markers themselves are the lineage record, so skip the job
+    if (conf.verifySegments)
+      manifestRows.toSeq.toDS().coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(manifestDir)
     commit(spark, outDir, "_COMMIT_index")
   }
 
@@ -339,26 +378,31 @@ object Builder {
       private val in = it.buffered
       private var blockSeq = 0
       private var lastTerm: String = null
+      // reused primitive buffers: no boxed Long/Int per posting
+      private val ids = new Array[Long](blockSize)
+      private val tfs = new Array[Int](blockSize)
+      private val dls = new Array[Int](blockSize)
       def hasNext: Boolean = in.hasNext
       def next(): PostingBlock = {
         val (head, key) = in.head
         val term = head.term
         if (term != lastTerm) { blockSeq = 0; lastTerm = term }
-        val ids = new ArrayBuffer[Long](blockSize)
-        val tfs = new ArrayBuffer[Int](blockSize)
-        val dls = new ArrayBuffer[Int](blockSize)
+        var n = 0
         var maxTf = 0
         var minDl = Int.MaxValue
-        while (in.hasNext && in.head._1.term == term && in.head._2 == key
-            && ids.length < blockSize) {
+        while (in.hasNext && n < blockSize && {
+            val h = in.head
+            ((h._1.term eq term) || h._1.term == term) && h._2 == key
+          }) {
           val (p, _) = in.next()
-          ids += p.doc_id; tfs += p.tf; dls += p.dl
+          ids(n) = p.doc_id; tfs(n) = p.tf; dls(n) = p.dl
           if (p.tf > maxTf) maxTf = p.tf
           if (p.dl < minDl) minDl = p.dl
+          n += 1
         }
-        val b = PostingBlock(term, blockSeq, ids.head, ids.last, ids.length,
-          maxTf, minDl, Codec.encodeDeltas(ids.toArray),
-          Codec.encodeInts(tfs.toArray), Codec.encodeInts(dls.toArray))
+        val b = PostingBlock(term, blockSeq, ids(0), ids(n - 1), n,
+          maxTf, minDl, Codec.encodeDeltas(ids, n),
+          Codec.encodeInts(tfs, n), Codec.encodeInts(dls, n))
         blockSeq += 1
         b
       }

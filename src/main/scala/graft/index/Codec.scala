@@ -28,11 +28,15 @@ object Codec {
 
   /** Encode a strictly-increasing doc-id run as delta varints
     * (first value absolute). */
-  def encodeDeltas(ids: Array[Long]): Array[Byte] = {
-    val out = new ByteArrayOutputStream(ids.length * 2)
+  def encodeDeltas(ids: Array[Long]): Array[Byte] = encodeDeltas(ids, ids.length)
+
+  /** Prefix form: encode ids(0 until n) — callers can reuse one buffer
+    * across blocks instead of allocating per block. */
+  def encodeDeltas(ids: Array[Long], n: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream(n * 2)
     var prev = 0L
     var i = 0
-    while (i < ids.length) {
+    while (i < n) {
       val d = if (i == 0) ids(0) else ids(i) - prev
       require(i == 0 || d > 0, s"doc ids must be strictly increasing at $i")
       writeVarLong(out, d)
@@ -66,10 +70,13 @@ object Codec {
   }
 
   /** Encode tf values (small positive ints) as plain varints. */
-  def encodeInts(vals: Array[Int]): Array[Byte] = {
-    val out = new ByteArrayOutputStream(vals.length)
+  def encodeInts(vals: Array[Int]): Array[Byte] = encodeInts(vals, vals.length)
+
+  /** Prefix form: encode vals(0 until n) from a reused buffer. */
+  def encodeInts(vals: Array[Int], n: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream(n)
     var i = 0
-    while (i < vals.length) { writeVarLong(out, vals(i).toLong); i += 1 }
+    while (i < n) { writeVarLong(out, vals(i).toLong); i += 1 }
     out.toByteArray
   }
 

@@ -95,20 +95,26 @@ object Ann {
     * query instead of n. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nPlanes: Int = 8, nTables: Int = 6, dims: Int = 64): DataFrame = {
+    // candidate pairs carry ONLY ids through the join + distinct (16
+    // bytes/row); embeddings are joined back afterwards — never shuffled
+    // through the candidate dedup
     val qb = queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("q_emb"),
         posexplode(lshBuckets(col("embedding"), nPlanes, nTables, dims)))
       .withColumnsRenamed(Map("pos" -> "t", "col" -> "bucket"))
     val cb = corpus.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("c_emb"),
         posexplode(lshBuckets(col("embedding"), nPlanes, nTables, dims)))
       .withColumnsRenamed(Map("pos" -> "t", "col" -> "bucket"))
     val cand = qb.join(cb, Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "q_emb", "neighbor_id", "c_emb")
+      .select("query_id", "neighbor_id")
       .distinct()
-    val scored = cand.select(col("query_id"), col("neighbor_id"),
-      round(cosine(col("q_emb"), col("c_emb")), 6).as("cos"))
+    val scored = cand
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), "query_id")
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_emb"), col("c_emb")), 6).as("cos"))
     rankTopK(scored, k)
   }
 
@@ -120,15 +126,23 @@ object Ann {
   def cosineNearDupPairs(corpus: DataFrame, minCos: Double,
                          nPlanes: Int = 8, nTables: Int = 6,
                          dims: Int = 64): DataFrame = {
-    val b = corpus.select(col("vec_id"), col("embedding"),
+    // ids-only candidate pairs (bucket join + distinct on 16-byte rows);
+    // embeddings rejoin afterwards — Catalyst broadcasts the embedding
+    // side when small, shuffle-joins on vec_id at scale
+    val b = corpus.select(col("vec_id"),
         posexplode(lshBuckets(col("embedding"), nPlanes, nTables, dims)))
       .withColumnsRenamed(Map("pos" -> "t", "col" -> "bucket"))
     val l = b.as("a"); val r = b.as("b")
-    l.join(r, col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")
-        && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"),
-        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+    val cand = l.join(r,
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
       .distinct()
+    cand
+      .join(corpus.select(col("vec_id").as("doc_a"),
+        col("embedding").as("ea")), "doc_a")
+      .join(corpus.select(col("vec_id").as("doc_b"),
+        col("embedding").as("eb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(cosine(col("ea"), col("eb")), 6).as("cos"))
       .filter(col("cos") >= minCos)

@@ -24,8 +24,7 @@ object Phrase {
   def searchTopK(spark: SparkSession, indexDir: String,
                  phrases: Seq[Searcher.Query], k: Int): DataFrame = {
     import spark.implicits._
-    require(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(indexDir, "_COMMIT_positions")),
+    require(graft.util.Fs.exists(spark, s"$indexDir/_COMMIT_positions"),
       s"index at $indexDir was built without storePositions=true")
     val handle = IndexHandle.open(spark, indexDir)
     val stats = handle.stats

@@ -48,6 +48,12 @@ object Searcher {
     * reference's per-query stats (gin.c:1118-1151). Keyed by query_id. */
   val lastStats = new java.util.concurrent.ConcurrentHashMap[Long, Wand.QueryStats]()
 
+  /** Shared pool for the driver-side WAND serving loop. */
+  private lazy val wandPool =
+    new scala.collection.parallel.ForkJoinTaskSupport(
+      new java.util.concurrent.ForkJoinPool(
+        math.min(16, Runtime.getRuntime.availableProcessors())))
+
   /** Top-k search over a built index — dispatcher.
     * Small posting volume (Σ df of the query's terms <= WandDfCap): the
     * exact block-max WAND loop over collected (still-compressed) blocks —
@@ -120,13 +126,21 @@ object Searcher {
         .as[PostingBlock].collect()
         .groupBy(_.term).map { case (t, bs) => t -> bs.sortBy(_.doc_id_base) }
     val wandMode = if (mode == And) Wand.And else Wand.Or
-    val rows = cachedRows ++ liveQs.toSeq.flatMap { case (qid, ts) =>
+    // queries are independent: evaluate the batch on a driver-side pool
+    // (the reference's -j thread parallelism for the serving loop,
+    // /root/reference/benchmark/scripts/benchmark_parallelism_fast_hard.sh)
+    import scala.collection.parallel.CollectionConverters._
+    val par = liveQs.toSeq.par
+    par.tasksupport = wandPool
+    val rows = cachedRows ++ par.map { case (qid, ts) =>
       val tbs = ts.filter(dict.contains).map { t =>
         Wand.TermBlocks(t, Bm25.idf(stats.n_docs, dict(t)),
           byTerm.getOrElse(t, Array.empty))
       }
       val (hits, qstats) = Wand.topK(tbs, k, stats.avgdl, wandMode)
       lastStats.put(qid, qstats)
+      qid -> hits
+    }.seq.flatMap { case (qid, hits) =>
       hits.zipWithIndex.map { case (s, i) => (qid, i + 1, s.doc_id, s.score) }
     }
     rows.toDF("query_id", "rank", "doc_id", "score")

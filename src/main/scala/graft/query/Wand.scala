@@ -64,6 +64,26 @@ object Wand {
     def nextBlockDoc: Long =
       if (bi + 1 >= blocks.length) Long.MaxValue else blocks(bi + 1).doc_id_base
 
+    /** Metadata-only block positioning: move past blocks whose max <
+      * target WITHOUT decoding. Returns false when exhausted. */
+    def seekBlock(target: Long): Boolean = {
+      while (bi < blocks.length && blocks(bi).doc_id_max < target) {
+        bi += 1; di = 0; ids = null
+      }
+      bi < blocks.length
+    }
+
+    /** Lower bound of this cursor's next doc, metadata-only: the decoded
+      * position if available, else the current block's base. */
+    def lowerBound: Long =
+      if (exhausted) Long.MaxValue
+      else if (ids != null) ids(di)
+      else blocks(bi).doc_id_base
+
+    /** Current block's max doc id (metadata). */
+    def blockMax: Long =
+      if (exhausted) Long.MaxValue else blocks(bi).doc_id_max
+
     def scoreCurrent(): Double = {
       decodeIfNeeded()
       idf * (Bm25.K1 + 1.0) * Bm25.tfNorm(tfs(di), dls(di), avgdl)
@@ -133,33 +153,80 @@ object Wand {
       if (buf.lengthCompare(k) < 0) Double.NegativeInfinity else buf.last.score
 
     if (mode == And) {
-      // conjunctive: align all cursors on a candidate doc; block-UB skip
+      // conjunctive block-max AND: blocks are positioned by METADATA
+      // first; a block combination whose Σ blockUB cannot beat θ is
+      // skipped without decoding any of its blocks. Decoding happens only
+      // for combos that survive, and doc-level alignment only inside
+      // those (the full-evaluation analog of the reference's fork
+      // advance, now with whole-block strides).
       val totalUB = cursors.map(_.termUB).sum
-      var doc = cursors.map(_.currentDoc).max
-      var done = doc == Long.MaxValue
+      var target = 0L
+      var done = false
       while (!done) {
-        var aligned = true
+        // 1. metadata-only block seek
         var i = 0
-        while (i < cursors.length) {
-          if (cursors(i).advanceTo(doc) != doc) aligned = false
+        while (i < cursors.length && !done) {
+          if (!cursors(i).seekBlock(target)) done = true
           i += 1
         }
-        if (aligned && doc != Long.MaxValue) {
-          // block-max check before full scoring
-          val ub = cursors.map(_.blockUB).sum
-          if (ub >= theta - Eps || buf.lengthCompare(k) < 0) {
-            var s = 0.0
-            var j = 0
-            while (j < cursors.length) { s += cursors(j).scoreCurrent(); j += 1 }
-            scored += 1
-            buf = heap.reduce(buf, Scored(doc, round6(s)))
+        if (!done) {
+          val full = buf.lengthCompare(k) >= 0
+          if (full && totalUB < theta - Eps) done = true
+          else {
+            // 2. raise target to the latest lower bound (metadata)
+            var lb = target
+            i = 0
+            while (i < cursors.length) {
+              val b = cursors(i).lowerBound
+              if (b > lb) lb = b
+              i += 1
+            }
+            if (lb > target) target = lb
+            else {
+              // 3. combo skip: Σ blockUB of the CURRENT blocks bounds any
+              //    doc up to the earliest block end
+              var ubSum = 0.0
+              var minMax = Long.MaxValue
+              i = 0
+              while (i < cursors.length) {
+                ubSum += cursors(i).blockUB
+                val m = cursors(i).blockMax
+                if (m < minMax) minMax = m
+                i += 1
+              }
+              if (full && ubSum < theta - Eps) target = minMax + 1
+              else {
+                // 4. decode-align one candidate at target
+                var doc = target
+                i = 0
+                while (i < cursors.length && !done) {
+                  val d = cursors(i).advanceTo(doc)
+                  if (d == Long.MaxValue) done = true
+                  else if (d > doc) doc = d
+                  i += 1
+                }
+                if (!done) {
+                  var aligned = true
+                  i = 0
+                  while (i < cursors.length) {
+                    if (cursors(i).currentDoc != doc) aligned = false
+                    i += 1
+                  }
+                  if (aligned) {
+                    var s = 0.0
+                    var j = 0
+                    while (j < cursors.length) {
+                      s += cursors(j).scoreCurrent(); j += 1
+                    }
+                    scored += 1
+                    buf = heap.reduce(buf, Scored(doc, round6(s)))
+                    target = doc + 1
+                  } else target = doc
+                }
+              }
+            }
           }
-          var j = 0
-          while (j < cursors.length) { cursors(j).next(); j += 1 }
         }
-        doc = cursors.map(_.currentDoc).max
-        done = doc == Long.MaxValue ||
-          (buf.lengthCompare(k) >= 0 && totalUB < theta - Eps)
       }
     } else {
       // disjunctive WAND with block-max refinement
@@ -211,8 +278,27 @@ object Wand {
                 m += 1
               }
             } else {
-              // advance the laggard to the pivot doc
-              cs(0).advanceTo(pivotDoc)
+              // BMW shallow move (Ding & Suel NextShallow): if the pivot
+              // prefix's CURRENT blocks cannot beat θ, jump past the
+              // earliest of (their block ends, next cursor's doc - 1)
+              // without decoding — docs in that range can only draw
+              // contributions from the prefix blocks just bounded
+              var ubb = 0.0
+              var minMax = Long.MaxValue
+              var j = 0
+              while (j <= p) {
+                ubb += cs(j).blockUB
+                val m = cs(j).blockMax
+                if (m < minMax) minMax = m
+                j += 1
+              }
+              if (p + 1 < cs.length && cs(p + 1).currentDoc - 1 < minMax)
+                minMax = cs(p + 1).currentDoc - 1
+              if (buf.lengthCompare(k) >= 0 && ubb < th &&
+                  minMax + 1 > pivotDoc)
+                cs(0).advanceTo(minMax + 1)
+              else
+                cs(0).advanceTo(pivotDoc)
             }
           }
         }

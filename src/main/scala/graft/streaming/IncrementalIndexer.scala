@@ -92,7 +92,7 @@ object IncrementalIndexer {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("SHA-256")
         it.map { case (id, repo, path, commitId, lang, content) =>
-          val dl = Tokenizer.tokens(content).length
+          val dl = Tokenizer.docLen(content)
           md.reset()
           val sha = md.digest(content.getBytes("UTF-8"))
             .map("%02x".format(_)).mkString
@@ -125,16 +125,10 @@ object IncrementalIndexer {
     val raw = withIds.select(col("doc_id"), col("content"))
       .as[(Long, String)]
       .flatMap { case (id, content) =>
-        val ts = Tokenizer.tokens(content)
-        val dl = ts.length
-        val m = new java.util.HashMap[String, Int](64)
-        var i = 0
-        while (i < ts.length) { m.merge(ts(i), 1, Integer.sum _); i += 1 }
-        val out = new Array[Posting](m.size)
-        val it = m.entrySet().iterator()
-        var j = 0
-        while (it.hasNext) {
-          val e = it.next(); out(j) = Posting(e.getKey, id, e.getValue, dl); j += 1
+        val dl = Tokenizer.docLen(content)
+        val out = new scala.collection.mutable.ArrayBuffer[Posting](192)
+        Tokenizer.foreachTermFreq(content) { (t, tf) =>
+          out += Posting(t, id, tf, dl)
         }
         out
       }

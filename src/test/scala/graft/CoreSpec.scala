@@ -63,6 +63,18 @@ class CoreSpec extends AnyFunSuite with PropHelpers {
     }
   }
 
+  test("docLen and foreachTermFreq agree with tokens() exactly") {
+    val gen = Gen.asciiStr
+    forAll(gen, 200) { s =>
+      val ts = Tokenizer.tokens(s)
+      assert(Tokenizer.docLen(s) == ts.length)
+      val got = scala.collection.mutable.Map.empty[String, Int]
+      Tokenizer.foreachTermFreq(s)((t, tf) => got(t) = tf)
+      val want = ts.groupBy(identity).map { case (t, xs) => t -> xs.length }
+      assert(got.toMap == want)
+    }
+  }
+
   test("scanner tokenizer == regex-split tokenizer on ASCII") {
     forAll(Gen.asciiPrintableStr, 300) { s =>
       assert(Tokenizer.tokens(s).toSeq == Tokenizer.tokensRegex(s).toSeq)
