@@ -194,19 +194,26 @@ object Bench {
       }
       val fracSf = decodedFrac()
 
-      // block-max WAND leg on a REAL vocabulary (2,000-term Zipf synth):
-      // here block skipping is measurable — the BMW benefit the sf
-      // corpus's 31-term vocabulary cannot show
+      // block-max WAND leg on a code-realistic corpus (2,000-term global
+      // Zipf vocab + repo-local identifiers): doc order (repo, path)
+      // clusters local terms, so skip metadata actually prunes — the BMW
+      // benefit the sf corpus's 31-term vocabulary cannot show. Queries
+      // mix one repo-local identifier with 0-2 global terms (the "find
+      // uses of this symbol" shape).
       val synthDir = freshDir("synth")
-      Builder.build(spark, Synth.corpus(spark, 20000), synthDir,
+      Builder.build(spark, Synth.localizedCorpus(spark, 20000), synthDir,
         Builder.Config(blockSize = 128, nBuckets = 16, nSegments = 2,
           saltTarget = 2000, shufflePartitions = cpus,
           verifySegments = false))
       val synthQueries = (0 until 128).map { i =>
-        val toks = graft.index.Tokenizer.tokens(Synth.doc(42L, (i * 37) % 20000).content)
-        val n = 1 + (i % 3)
-        val terms = (0 until n).map(j => toks((i * 11 + j * 17) % toks.length))
-        Searcher.Query(i.toLong, terms.mkString(" "))
+        val toks = graft.index.Tokenizer.tokens(
+          Synth.localizedDoc(42L, (i * 37L) % 20000).content)
+        val loc = toks.find(_.startsWith("loc_")).getOrElse(toks(0))
+        val globals = toks.filter(!_.startsWith("loc_"))
+        val extra = (0 until (i % 3)).map { j =>
+          globals((i * 11 + j * 17) % math.max(1, globals.length))
+        }
+        Searcher.Query(i.toLong, (loc +: extra).mkString(" "))
       }
       Searcher.lastStats.clear()
       val (_, synthWandSecs) = time {

@@ -168,6 +168,8 @@ object Gate {
     s.read.parquet(s"$dir/documents.parquet")
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
 
   // =====================================================================
   // Query implementations (Spark side)
@@ -319,6 +321,16 @@ object Gate {
     graft.query.Substring.find(s, indexDir(s, dir), GateSubstrings,
         nBuckets = gateConfig.nBuckets)
       .select(col("query_id").cast("long"), col("doc_id").cast("long"))
+
+  def qEventsWindow(s: SparkSession, dir: String): DataFrame =
+    ops.Events.windowedTypeCounts(events(s, dir), "6 hours")
+      .select(col("window_start").cast("long"), col("event_type"),
+        col("n_events").cast("long"), col("sum_value"))
+
+  def qSessionize(s: SparkSession, dir: String): DataFrame =
+    ops.Events.sessionize(events(s, dir), gapMinutes = 30)
+      .select(col("user_id").cast("long"), col("session_start").cast("long"),
+        col("n_events").cast("long"), col("sum_value"))
 
   def qMultimodal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -620,6 +632,37 @@ object Gate {
       SELECT sp.query_id, i.doc_id
       FROM sp JOIN ids i ON position(sp.pat IN i.content) > 0""",
 
+    "q_events_window" -> """
+      SELECT CAST(epoch_us(time_bucket(INTERVAL '6 hours', ts)) // 1000000
+               AS BIGINT) AS window_start,
+             event_type, count(*) AS n_events,
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6)
+               AS sum_value
+      FROM events GROUP BY 1, 2""",
+
+    "q_sessionize" -> """
+      WITH l AS (
+        SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events),
+      f AS (
+        SELECT user_id, ts, value,
+               CASE WHEN prev IS NULL
+                         OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                    THEN 1 ELSE 0 END AS ns
+        FROM l),
+      g AS (
+        SELECT user_id, ts, value,
+               sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f)
+      SELECT user_id,
+             CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS session_start,
+             count(*) AS n_events,
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6)
+               AS sum_value
+      FROM g GROUP BY user_id, sid""",
+
     "q_ann_cosine" -> """
       WITH ex AS (
         SELECT vec_id, unnest(range(len(embedding))) AS pos,
@@ -698,5 +741,7 @@ object Gate {
     "q_cosine_neardup" -> (qCosineNearDup _),
     "q_spectrum_k3" -> (qSpectrumK3 _),
     "q_substring" -> (qSubstring _),
+    "q_events_window" -> (qEventsWindow _),
+    "q_sessionize" -> (qSessionize _),
     "q_multimodal" -> (qMultimodal _))
 }

@@ -117,4 +117,37 @@ object Synth {
     import spark.implicits._
     spark.range(nDocs).map(i => doc(seed, i)).toDF()
   }
+
+  /** Code-realistic variant: every other token is a REPO-LOCAL identifier
+    * (`loc_<repo>_<rank>`), the rest global Zipf vocabulary. Real code
+    * has exactly this locality, and it is why the reference anneals a
+    * vertex permutation (/root/reference/src/gin_annealing.c): doc order
+    * (repo, path) clusters repo-local terms into few posting blocks, so
+    * block-max/skip metadata actually prunes. */
+  def localizedDoc(seed: Long, i: Long): graft.index.CodeDoc = {
+    val repoId = i / 50
+    val h = mix(seed ^ mix(i) ^ 0x5bf03635L)
+    val nTokens = 20 + (mix(h ^ 1L) >>> 48).toInt % 380
+    val sb = new StringBuilder(nTokens * 10)
+    var j = 0
+    while (j < nTokens) {
+      val r = mix(h ^ (j + 2).toLong)
+      if ((r & 1L) == 0L)
+        sb.append(s"loc_${repoId}_${zipfRank(mix(r), 100)}")
+      else sb.append(word(zipfRank(r, VocabSize)))
+      j += 1
+      if (j < nTokens) sb.append(if (j % 8 == 0) "\n" else " ")
+    }
+    graft.index.CodeDoc(
+      repo = f"repo_${repoId}%05d",
+      path = f"src/pkg${(i % 50) / 10}%d/file_$i%08d.${Langs((mix(h ^ 7L) >>> 33).toInt.abs % 4)}",
+      commit = f"${mix(h ^ 13L)}%016x".take(8),
+      lang = Langs((mix(h ^ 7L) >>> 33).toInt.abs % 4),
+      content = sb.toString)
+  }
+
+  def localizedCorpus(spark: SparkSession, nDocs: Long, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    spark.range(nDocs).map(i => localizedDoc(seed, i)).toDF()
+  }
 }

@@ -350,19 +350,68 @@ object Builder {
     // non-adjacent salts of the same term, and a block glued across
     // the gap would overlap other salts' block ranges — violating the
     // disjoint-sorted invariant the WAND cursor skip relies on
-    raw
+    val sorted = raw
       .repartition(nPart, xxhash64(col("term"), col("salt")))
       .sortWithinPartitions("term", "salt", "doc_id")
       .select("term", "doc_id", "tf", "dl", "salt")
-      .as[(String, Long, Int, Int, Int)]
-      .mapPartitions { it =>
-        encodeBlocksKeyed(
-          it.map { case (t, d, tf, dl, s) => (Posting(t, d, tf, dl), s) },
-          avgdl, conf.blockSize)
-      }
+    // encode straight off the sorted InternalRows: the typed-Dataset form
+    // deserializes a String + tuple per posting (tens of millions of
+    // allocations), and allocation rate is what limits multi-core JVM
+    // scaling on this path; here a term String materializes once per
+    // BLOCK. (RDD surface is justified: genuinely imperative
+    // per-partition run-length encoding.)
+    val blocksRdd = sorted.queryExecution.toRdd
+      .mapPartitions(encodeBlockRows(_, avgdl, conf.blockSize))
+    spark.createDataset(blocksRdd)(
+        org.apache.spark.sql.Encoders.product[PostingBlock])
       .withColumn("bucket", bucketOf(col("term"), conf.nBuckets))
       .write.mode(SaveMode.Overwrite).parquet(segDir)
   }
+
+  /** Run-length block encoder over sorted (term, doc_id, tf, dl, salt)
+    * InternalRows. Spark reuses the row object between iterator steps, so
+    * every field is copied to primitives immediately and the term key is
+    * cloned once per term change. */
+  private def encodeBlockRows(rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      avgdl: Double, blockSize: Int): Iterator[PostingBlock] =
+    new Iterator[PostingBlock] {
+      private val in = rows.buffered
+      private var blockSeq = 0
+      private var curTerm: org.apache.spark.unsafe.types.UTF8String = null
+      private val ids = new Array[Long](blockSize)
+      private val tfs = new Array[Int](blockSize)
+      private val dls = new Array[Int](blockSize)
+      def hasNext: Boolean = in.hasNext
+      def next(): PostingBlock = {
+        val head = in.head
+        val t = head.getUTF8String(0)
+        if (curTerm == null || !curTerm.equals(t)) {
+          blockSeq = 0
+          curTerm = t.clone() // own the bytes: the row buffer is reused
+        }
+        val key = head.getInt(4)
+        var n = 0
+        var maxTf = 0
+        var minDl = Int.MaxValue
+        while (in.hasNext && n < blockSize && {
+            val r = in.head
+            curTerm.equals(r.getUTF8String(0)) && r.getInt(4) == key
+          }) {
+          val r = in.next()
+          ids(n) = r.getLong(1)
+          val tf = r.getInt(2); val dl = r.getInt(3)
+          tfs(n) = tf; dls(n) = dl
+          if (tf > maxTf) maxTf = tf
+          if (dl < minDl) minDl = dl
+          n += 1
+        }
+        val b = PostingBlock(curTerm.toString, blockSeq, ids(0), ids(n - 1),
+          n, maxTf, minDl, Codec.encodeDeltas(ids, n),
+          Codec.encodeInts(tfs, n), Codec.encodeInts(dls, n))
+        blockSeq += 1
+        b
+      }
+    }
 
   /** Encode a (term, doc_id)-sorted partition into posting blocks.
     * Pure iterator -> iterator; one pass, bounded memory (blockSize). */

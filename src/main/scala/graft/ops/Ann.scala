@@ -72,7 +72,11 @@ object Ann {
     transform(emb, v => floor(v.cast("double") * 1000000.0).cast("long"))
 
   /** LSH bucket id for one table: `nPlanes` sign bits of exact integer
-    * projections of the quantized embedding onto h60-derived planes. */
+    * projections of the quantized embedding onto h60-derived planes.
+    * (Column form — fine for a handful of planes; the multi-table hot
+    * path uses the typed `bucketRows` below, because tables×planes
+    * aggregate-lambda expressions exceed the whole-stage-codegen method
+    * budget and silently fall back to interpreted eval.) */
   def lshBucket(emb: Column, nPlanes: Int, table: Int, dims: Int): Column = {
     val e6 = quantized(emb)
     val bits = (0 until nPlanes).map { p =>
@@ -84,9 +88,40 @@ object Ann {
     bits.reduce(_ + _)
   }
 
-  /** All L table buckets as one array column (single pass per row). */
-  def lshBuckets(emb: Column, nPlanes: Int, nTables: Int, dims: Int): Column =
-    array((0 until nTables).map(t => lshBucket(emb, nPlanes, t, dims)): _*)
+  /** All (table, bucket) rows per vector, computed in one typed pass with
+    * a broadcast plane matrix: exact integer arithmetic identical to the
+    * SQL oracle, constant-size codegen, one flat loop per row. */
+  def bucketRows(vecs: DataFrame, nPlanes: Int, nTables: Int,
+                 dims: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    // plane matrix [table][plane][dim], built once and broadcast
+    val planes = Array.tabulate(nTables, nPlanes, dims)(planeWeight)
+    val planesB = spark.sparkContext.broadcast(planes)
+    vecs.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .flatMap { case (id, emb) =>
+        val w = planesB.value
+        val e = new Array[Long](dims)
+        var d = 0
+        val n = math.min(dims, emb.length)
+        while (d < n) { e(d) = math.floor(emb(d).toDouble * 1000000.0).toLong; d += 1 }
+        (0 until nTables).map { t =>
+          var bucket = 0L
+          var p = 0
+          while (p < nPlanes) {
+            val wp = w(t)(p)
+            var proj = 0L
+            var i = 0
+            while (i < n) { proj += e(i) * wp(i); i += 1 }
+            if (proj >= 0) bucket |= (1L << p)
+            p += 1
+          }
+          (id, t, bucket)
+        }
+      }
+      .toDF("vec_id", "t", "bucket")
+  }
 
   /** Multi-table LSH approximate top-k: candidates = union over L hash
     * tables of same-bucket pairs (one shuffle on (table, bucket)), then
@@ -98,12 +133,10 @@ object Ann {
     // candidate pairs carry ONLY ids through the join + distinct (16
     // bytes/row); embeddings are joined back afterwards — never shuffled
     // through the candidate dedup
-    val qb = queries.select(col("vec_id").as("query_id"),
-        posexplode(lshBuckets(col("embedding"), nPlanes, nTables, dims)))
-      .withColumnsRenamed(Map("pos" -> "t", "col" -> "bucket"))
-    val cb = corpus.select(col("vec_id").as("neighbor_id"),
-        posexplode(lshBuckets(col("embedding"), nPlanes, nTables, dims)))
-      .withColumnsRenamed(Map("pos" -> "t", "col" -> "bucket"))
+    val qb = bucketRows(queries, nPlanes, nTables, dims)
+      .withColumnRenamed("vec_id", "query_id")
+    val cb = bucketRows(corpus, nPlanes, nTables, dims)
+      .withColumnRenamed("vec_id", "neighbor_id")
     val cand = qb.join(cb, Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
@@ -129,9 +162,7 @@ object Ann {
     // ids-only candidate pairs (bucket join + distinct on 16-byte rows);
     // embeddings rejoin afterwards — Catalyst broadcasts the embedding
     // side when small, shuffle-joins on vec_id at scale
-    val b = corpus.select(col("vec_id"),
-        posexplode(lshBuckets(col("embedding"), nPlanes, nTables, dims)))
-      .withColumnsRenamed(Map("pos" -> "t", "col" -> "bucket"))
+    val b = bucketRows(corpus, nPlanes, nTables, dims)
     val l = b.as("a"); val r = b.as("b")
     val cand = l.join(r,
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")

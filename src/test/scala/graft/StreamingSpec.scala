@@ -93,6 +93,80 @@ class StreamingSpec extends SparkTestBase {
     assert(Builder.indexEqual(spark, dir, fullDir2))
   }
 
+  test("windowed event aggregation: streaming (watermarked) == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    def ts(minutes: Long) =
+      new java.sql.Timestamp(base.getTime + minutes * 60000L)
+    val evs = (0L until 300L).map { i =>
+      (i, ts(i * 7), i % 5, if (i % 3 == 0) "click" else "view",
+        (i % 17) + 0.25)
+    }
+    val batchDf = evs.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val streamed = graft.ops.Events.windowedTypeCountsStream(
+      ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      "1 hour", "10 minutes")
+    val q = streamed.writeStream.format("memory")
+      .queryName("win_agg").outputMode("complete").start()
+    try {
+      evs.grouped(100).foreach { g => ms.addData(g); q.processAllAvailable() }
+    } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("window_start", "event_type", "n_events", "sum_value")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    val got = canon(spark.sql("SELECT * FROM win_agg"))
+    val want = canon(graft.ops.Events.windowedTypeCounts(batchDf, "1 hour"))
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("sessionize: streaming state op == batch window op once sessions close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def ts(minutes: Long) =
+      new java.sql.Timestamp(base.getTime + minutes * 60000L)
+    // 3 users, cumulative gaps alternating under/over the 30-minute
+    // session gap (every 4th step is 45 min, the rest 10 min) — event
+    // time must be monotone or the 0-delay watermark would drop rows the
+    // batch side keeps
+    val evs = (0L until 120L).map { i =>
+      val j = i / 3
+      val minute = j * 10 + ((j + 1) / 4) * 35
+      (i, ts(minute), i % 3, "click", (i % 9) + 0.5)
+    }
+    val batchDf = evs.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    // watermark delay must cover cross-user event-time skew inside a
+    // micro-batch (here up to one 45-min step), or boundary events arrive
+    // "late" and are dropped — exactly what the delay knob is for
+    val streamed = graft.ops.Events.sessionizeStream(
+      ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      gapMinutes = 30, watermark = "45 minutes")
+    val q = streamed.writeStream.format("memory")
+      .queryName("sessions").outputMode("append").start()
+    try {
+      evs.grouped(40).foreach { g => ms.addData(g); q.processAllAvailable() }
+      // a far-future sentinel per user advances the event-time watermark
+      // so every real session times out and is emitted
+      val far = evs.map(_._2.getTime).max + 100L * 3600 * 1000
+      ms.addData((0L until 3L).map(u =>
+        (9000L + u, new java.sql.Timestamp(far), u, "click", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "session_start", "n_events", "sum_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    val got = canon(spark.sql("SELECT * FROM sessions"))
+    val want = canon(graft.ops.Events.sessionize(batchDf, 30))
+    assert(got == want)
+    assert(got.size > 3) // multiple sessions per user actually split
+  }
+
   test("a partially-failed batch retry converges (idempotent appends + dict delta)") {
     import spark.implicits._
     val dir = tmpDir("stream-retry")
