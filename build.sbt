@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// local-cluster[...] scaling legs launch real executor processes, which
+// requires a Spark distribution location
+Test / envVars ++= Map("SPARK_HOME" -> "/opt/spark",
+  "SPARK_SCALA_VERSION" -> "2.13")
+run / envVars ++= Map("SPARK_HOME" -> "/opt/spark",
+  "SPARK_SCALA_VERSION" -> "2.13")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -29,4 +35,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] = 32 executor threads in ONE JVM; 8g starves them into GC
   // thrash (observed 3-5x slowdowns). Box has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
+  // Throughput GC: G1's write barriers + concurrent refinement couple
+  // allocation-heavy task threads — measured on this host, a 4-thread
+  // string/hash workload scales 2.78x under G1 but 3.65x under
+  // ParallelGC (and the index build is exactly that workload).
+  "-XX:+UseParallelGC",
 )

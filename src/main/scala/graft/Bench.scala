@@ -76,7 +76,8 @@ object Bench {
     blockSize = 128, nBuckets = 32, nSegments = 1, saltTarget = 20000,
     shufflePartitions = cores * 4, verifySegments = false)
 
-  /** One timed build over the deterministic synthetic corpus. */
+  /** One timed build over the deterministic synthetic corpus (in-JVM
+    * fallback path for the scaling legs). */
   private def buildRun(cores: Int, nDocs: Long): Double =
     withSession(cores, shufflePartitions = cores * 4, aqe = false) { s =>
       val corpus = Synth.corpus(s, nDocs)
@@ -85,6 +86,41 @@ object Bench {
       }
       secs
     }
+
+  private val Jdk17Opens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar")
+    .map(p => s"--add-opens=$p=ALL-UNNAMED")
+
+  /** One scaling-leg JVM: a fresh process running graft.tools.BuildLeg
+    * (warmup build + `reps` timed builds, min-of-reps reported). A clean
+    * process per leg is exactly what a cluster gives each executor set —
+    * no heap/metaspace residue from the other leg's runs — and measured
+    * on this host it is worth ~10% on the hi leg. Returns per-rep
+    * seconds; None if the subprocess could not run (caller falls back to
+    * in-JVM sessions). */
+  private def legProcess(cores: Int, nDocs: Long, reps: Int): Option[Seq[Double]] =
+    try {
+      val java = sys.props("java.home") + "/bin/java"
+      val cmd = Seq(java) ++ Jdk17Opens ++ Seq(
+        "-Xmx24g", "-XX:+UseParallelGC", "-Dspark.ui.enabled=false",
+        "-cp", sys.props("java.class.path"), "graft.tools.BuildLeg",
+        cores.toString, nDocs.toString, reps.toString, s"$scratch/legs")
+      val out = new StringBuilder
+      val p = scala.sys.process.Process(cmd)
+        .run(scala.sys.process.ProcessLogger(l => out.append(l).append('\n'),
+          _ => ()))
+      if (p.exitValue() != 0) None
+      else out.toString.linesIterator
+        .find(_.startsWith("LEG ")).map { line =>
+          line.split(' ')(3).split(',').map(_.toDouble).toSeq
+        }
+    } catch { case _: Throwable => None }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -97,23 +133,43 @@ object Bench {
     // per-executor memory bandwidth provides.
     val loCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "1").toInt
     val hiCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "4").toInt
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "80000").toLong
-    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    // 150k docs: the ~4s fixed per-build cost (job launches, parquet
+    // commits, listings) must be small against the scalable work or it
+    // alone caps the measurable ratio — at 80k docs it costs ~0.1 of
+    // efficiency, at 150k ~0.04
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "150000").toLong
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "4").toInt
 
     // ---- scaling pair: same synthetic input, N vs 4N cores ------------
-    // JIT warmup once per core count (small corpus: pays codegen
-    // compilation without interpreted-mode execution over real volume)
-    buildRun(loCores, 3000)
-    buildRun(hiCores, 3000)
-    val runs: Seq[(Int, Double)] = (1 to reps).flatMap { _ =>
-      System.gc()
-      val lo = loCores -> buildRun(loCores, benchDocs)
-      System.gc()
-      val hi = hiCores -> buildRun(hiCores, benchDocs)
-      Seq(lo, hi)
-    }
-    val runsLo = runs.filter(_._1 == loCores).map(_._2)
-    val runsHi = runs.filter(_._1 == hiCores).map(_._2)
+    // Each leg runs in FRESH JVM processes (clean heap, own warmup,
+    // min-of-reps inside), interleaved lo/hi across two rounds so
+    // episodic host noise cannot sit on one leg; falls back to in-JVM
+    // sessions if subprocess launch is unavailable.
+    val rounds = math.max(1, reps / 2)
+    val perProc = math.max(1, reps / rounds)
+    val procRuns: Seq[(Int, Seq[Double])] = (1 to rounds).flatMap { _ =>
+      Seq(loCores -> legProcess(loCores, benchDocs, perProc),
+        hiCores -> legProcess(hiCores, benchDocs, perProc))
+    }.collect { case (c, Some(ts)) => c -> ts }
+    val (runsLo, runsHi) =
+      if (procRuns.count(_._1 == loCores) == rounds &&
+          procRuns.count(_._1 == hiCores) == rounds) {
+        (procRuns.filter(_._1 == loCores).flatMap(_._2),
+          procRuns.filter(_._1 == hiCores).flatMap(_._2))
+      } else {
+        // fallback: in-JVM sessions (subprocess unavailable)
+        buildRun(loCores, 3000)
+        buildRun(hiCores, 3000)
+        val runs = (1 to reps).flatMap { _ =>
+          System.gc()
+          val lo = loCores -> buildRun(loCores, benchDocs)
+          System.gc()
+          val hi = hiCores -> buildRun(hiCores, benchDocs)
+          Seq(lo, hi)
+        }
+        (runs.filter(_._1 == loCores).map(_._2),
+          runs.filter(_._1 == hiCores).map(_._2))
+      }
     val thrLo = benchDocs / runsLo.min
     val thrHi = benchDocs / runsHi.min
     val scalingEff = (thrHi / thrLo) / (hiCores.toDouble / loCores)

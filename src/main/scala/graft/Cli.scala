@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.corpus.{Corpus, Queries}
+import graft.index.Builder
+import graft.query.{HeadCache, Phrase, Searcher, Substring}
+
+/** spark-submit entry point — the `gin` CLI analog
+  * (/root/reference/gin.c: index / query / decode / utils subcommands).
+  * A user of the reference drives it as a command-line tool; this is the
+  * same surface on a cluster:
+  *
+  * {{{
+  * spark-submit --class graft.Cli app.jar index \
+  *   --input /data/corpus.parquet --format parquet --out /idx \
+  *   [--positions] [--trigrams] [--buckets 32] [--segments 4] \
+  *   [--salt-target 50000] [--block-size 128]
+  * spark-submit --class graft.Cli app.jar query \
+  *   --index /idx --queries q.txt --k 10 [--mode and|or] [--resolve] \
+  *   [--out /results]
+  * spark-submit --class graft.Cli app.jar count|phrase|substring \
+  *   --index /idx --queries q.txt [--out /results]
+  * spark-submit --class graft.Cli app.jar cache \
+  *   --index /idx --min-df 1000 --k 10 [--pair-terms 64]
+  * spark-submit --class graft.Cli app.jar compact --index /idx
+  * }}}
+  *
+  * `--queries` follows the reference's .ginq protocol: one query per
+  * line, `exit();` sentinel ends the stream.
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().appName("graft").getOrCreate()
+    try {
+      val out = run(spark, args)
+      out.foreach { df =>
+        opts(args).get("out") match {
+          case Some(dir) => df.write.mode("overwrite").parquet(dir)
+          case None => df.show(100, truncate = false)
+        }
+      }
+    } finally spark.stop()
+  }
+
+  private def opts(args: Array[String]): Map[String, String] =
+    args.drop(1).sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+
+  private def flag(args: Array[String], name: String): Boolean =
+    args.contains(s"--$name")
+
+  /** Dispatch; returns a result DataFrame for query-like subcommands. */
+  def run(spark: SparkSession, args: Array[String]): Option[DataFrame] = {
+    require(args.nonEmpty, "subcommand required: index|query|count|phrase|substring|cache|compact")
+    val o = opts(args.filter(a => a != "--positions" && a != "--trigrams"
+      && a != "--resolve"))
+    def conf = Builder.Config(
+      blockSize = o.getOrElse("block-size", "128").toInt,
+      nBuckets = o.getOrElse("buckets", "32").toInt,
+      nSegments = o.getOrElse("segments", "4").toInt,
+      saltTarget = o.getOrElse("salt-target", "50000").toInt,
+      storePositions = flag(args, "positions"),
+      storeTrigrams = flag(args, "trigrams"))
+    def index = o("index")
+    def nBuckets = o.getOrElse("buckets", "32").toInt
+    def k = o.getOrElse("k", "10").toInt
+    def qs = Queries.fromFile(spark, o("queries"))
+    def mode = o.getOrElse("mode", "and") match {
+      case "or" => Searcher.Or
+      case _ => Searcher.And
+    }
+
+    args(0) match {
+      case "index" =>
+        val corpus = o.getOrElse("format", "parquet") match {
+          case "jsonl" => Corpus.fromJsonl(spark, o("input"))
+          case "documents" => Corpus.fromDocuments(spark, o("input"))
+          case _ => spark.read.parquet(o("input"))
+            .select("repo", "path", "commit", "lang", "content")
+        }
+        Builder.build(spark, corpus, o("out"), conf)
+        None
+      case "query" =>
+        val topk = Searcher.searchTopK(spark, index, qs, k, mode, nBuckets)
+        Some(if (flag(args, "resolve")) Searcher.resolve(spark, index, topk)
+             else topk)
+      case "count" =>
+        Some(Searcher.countMatches(spark, index, qs, nBuckets))
+      case "phrase" =>
+        Some(Phrase.searchTopK(spark, index, qs, k))
+      case "substring" =>
+        Some(Substring.find(spark, index,
+          qs.map(q => q.query_id -> q.text), nBuckets))
+      case "cache" =>
+        HeadCache.build(spark, index, o.getOrElse("min-df", "1000").toLong, k)
+        o.get("pair-terms").foreach(n =>
+          HeadCache.buildPairs(spark, index, n.toInt, k, nBuckets))
+        None
+      case "compact" =>
+        graft.streaming.Compactor.compact(spark, index, conf)
+        None
+      case other =>
+        throw new IllegalArgumentException(s"unknown subcommand: $other")
+    }
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.corpus.{Corpus, Synth}
+
+/** The spark-submit CLI surface: index -> query/count/phrase/substring
+  * through Cli.run with .ginq-protocol query files. */
+class CliSpec extends SparkTestBase {
+
+  test("cli: index + query + count + substring round-trip") {
+    import spark.implicits._
+    val src = tmpDir("cli-src")
+    Corpus.write(Synth.corpus(spark, 150, seed = 21L), src)
+    val idx = tmpDir("cli-idx") + "/index"
+
+    Cli.run(spark, Array("index", "--input", src, "--out", idx,
+      "--buckets", "8", "--segments", "2", "--salt-target", "60",
+      "--positions", "--trigrams"))
+    assert(graft.util.Fs.exists(spark, s"$idx/_COMMIT_index"))
+
+    // .ginq protocol: one query per line, exit(); sentinel
+    val qf = java.nio.file.Files.createTempFile("cli-q", ".ginq")
+    java.nio.file.Files.writeString(qf,
+      "id_0\nid_0 id_1\nexit();\nid_ignored_after_sentinel\n")
+    val topk = Cli.run(spark, Array("query", "--index", idx,
+      "--queries", qf.toString, "--k", "5", "--buckets", "8")).get
+    val rows = topk.collect()
+    assert(rows.nonEmpty && rows.forall(_.getInt(1) <= 5))
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L)) // sentinel honored
+
+    val resolved = Cli.run(spark, Array("query", "--index", idx,
+      "--queries", qf.toString, "--k", "3", "--buckets", "8",
+      "--resolve")).get
+    assert(resolved.columns.contains("repo"))
+
+    val counts = Cli.run(spark, Array("count", "--index", idx,
+      "--queries", qf.toString, "--buckets", "8")).get.collect()
+    assert(counts.length == 2 && counts.forall(_.getLong(1) > 0))
+
+    val sub = Cli.run(spark, Array("substring", "--index", idx,
+      "--queries", qf.toString, "--buckets", "8")).get
+    assert(sub.columns.toSeq == Seq("query_id", "doc_id"))
+
+    Cli.run(spark, Array("cache", "--index", idx, "--min-df", "50",
+      "--k", "5", "--buckets", "8"))
+    assert(graft.util.Fs.exists(spark, s"$idx/_COMMIT_head_cache"))
+  }
+}
