@@ -11,12 +11,6 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
-// local-cluster[...] scaling legs launch real executor processes, which
-// requires a Spark distribution location
-Test / envVars ++= Map("SPARK_HOME" -> "/opt/spark",
-  "SPARK_SCALA_VERSION" -> "2.13")
-run / envVars ++= Map("SPARK_HOME" -> "/opt/spark",
-  "SPARK_SCALA_VERSION" -> "2.13")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
