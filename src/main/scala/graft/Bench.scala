@@ -145,8 +145,12 @@ object Bench {
     // min-of-reps inside), interleaved lo/hi across two rounds so
     // episodic host noise cannot sit on one leg; falls back to in-JVM
     // sessions if subprocess launch is unavailable.
-    val rounds = math.max(1, reps / 2)
-    val perProc = math.max(1, reps / rounds)
+    // one rep per process, `reps` interleaved rounds: spreading samples
+    // across the whole measurement window decorrelates them from noise
+    // episodes better than consecutive in-process reps (observed: 3
+    // consecutive lo runs inside one storm, the 4th clean)
+    val rounds = math.max(1, reps)
+    val perProc = 1
     val procRuns: Seq[(Int, Seq[Double])] = (1 to rounds).flatMap { _ =>
       Seq(loCores -> legProcess(loCores, benchDocs, perProc),
         hiCores -> legProcess(hiCores, benchDocs, perProc))
