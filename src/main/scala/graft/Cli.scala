@@ -43,8 +43,15 @@ object Cli {
     } finally spark.stop()
   }
 
-  private def opts(args: Array[String]): Map[String, String] =
-    args.drop(1).sliding(2, 2).collect {
+  /** Standalone (valueless) flags. Stripped before key/value pairing so a
+    * flag between `--key value` pairs cannot misalign the scanner (e.g.
+    * `--resolve --out /r` must not pair (--resolve, --out) and drop the
+    * output dir). One scanner shared by main() and run(). */
+  private val Flags = Set("--positions", "--trigrams", "--resolve",
+    "--allow-short")
+
+  private[graft] def opts(args: Array[String]): Map[String, String] =
+    args.drop(1).filterNot(Flags.contains).sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
 
@@ -54,8 +61,7 @@ object Cli {
   /** Dispatch; returns a result DataFrame for query-like subcommands. */
   def run(spark: SparkSession, args: Array[String]): Option[DataFrame] = {
     require(args.nonEmpty, "subcommand required: index|query|count|phrase|substring|cache|compact")
-    val o = opts(args.filter(a => a != "--positions" && a != "--trigrams"
-      && a != "--resolve"))
+    val o = opts(args)
     def conf = Builder.Config(
       blockSize = o.getOrElse("block-size", "128").toInt,
       nBuckets = o.getOrElse("buckets", "32").toInt,
@@ -92,7 +98,10 @@ object Cli {
         Some(Phrase.searchTopK(spark, index, qs, k))
       case "substring" =>
         Some(Substring.find(spark, index,
-          qs.map(q => q.query_id -> q.text), nBuckets))
+          qs.map(q => q.query_id -> q.text), nBuckets,
+          maxMatches = o.get("max-matches").map(_.toLong)
+            .getOrElse(Long.MaxValue),
+          allowShortScan = flag(args, "allow-short")))
       case "cache" =>
         HeadCache.build(spark, index, o.getOrElse("min-df", "1000").toLong, k)
         o.get("pair-terms").foreach(n =>

@@ -319,8 +319,9 @@ object Gate {
 
   def qSubstring(s: SparkSession, dir: String): DataFrame =
     graft.query.Substring.find(s, indexDir(s, dir), GateSubstrings,
-        nBuckets = gateConfig.nBuckets)
-      .select(col("query_id").cast("long"), col("doc_id").cast("long"))
+        nBuckets = gateConfig.nBuckets, allowShortScan = true)
+      .select(col("query_id").cast("long"), col("doc_id").cast("long"),
+        col("n_matches").cast("long"), col("first_offset").cast("long"))
 
   def qEventsWindow(s: SparkSession, dir: String): DataFrame =
     ops.Events.windowedTypeCounts(events(s, dir), "6 hours")
@@ -629,7 +630,10 @@ object Gate {
 
     "q_substring" -> s"""$Prelude,
       sp(query_id, pat) AS (VALUES $SpValuesSql)
-      SELECT sp.query_id, i.doc_id
+      SELECT sp.query_id, i.doc_id,
+             CAST((length(i.content) - length(replace(i.content, sp.pat, '')))
+                  // length(sp.pat) AS BIGINT) AS n_matches,
+             CAST(position(sp.pat IN i.content) AS BIGINT) AS first_offset
       FROM sp JOIN ids i ON position(sp.pat IN i.content) > 0""",
 
     "q_events_window" -> """

@@ -77,6 +77,62 @@ object Builder {
   def bucketOf(term: org.apache.spark.sql.Column, nBuckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(term), lit(nBuckets.toLong)).cast("int")
 
+  /** (term, doc_id, n_pos, pos_deltas, bucket) rows for phrase search,
+    * from a (doc_id, content) frame. Shared by the batch build (stage 3b)
+    * and streaming ingest (per-batch append). */
+  def positionsOf(docs: DataFrame, nBuckets: Int, nPart: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id", "content")
+      .as[(Long, String)]
+      .flatMap { case (id, content) =>
+        val ts = Tokenizer.tokens(content)
+        val m = new java.util.HashMap[String, ArrayBuffer[Int]](64)
+        var i = 0
+        while (i < ts.length) {
+          m.computeIfAbsent(ts(i), _ => new ArrayBuffer[Int](4)) += i
+          i += 1
+        }
+        val out = new Array[(String, Long, Int, Array[Byte])](m.size)
+        val it = m.entrySet().iterator()
+        var j = 0
+        while (it.hasNext) {
+          val e = it.next()
+          val ps = e.getValue.toArray
+          out(j) = (e.getKey, id, ps.length,
+            Codec.encodeDeltas(ps.map(_.toLong)))
+          j += 1
+        }
+        out
+      }
+      .toDF("term", "doc_id", "n_pos", "pos_deltas")
+      .withColumn("bucket", bucketOf(col("term"), nBuckets))
+      .repartition(nPart, col("bucket"))
+  }
+
+  /** (gram, doc_id, bucket) distinct char-trigram rows for substring
+    * search, from a (doc_id, content) frame. Shared like positionsOf. */
+  def trigramsOf(docs: DataFrame, nBuckets: Int, nPart: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id", "content")
+      .as[(Long, String)]
+      .flatMap { case (id, content) =>
+        val seen = new java.util.HashSet[String](256)
+        val out = ArrayBuffer.empty[(String, Long)]
+        var i = 0
+        while (i + 3 <= content.length) {
+          val g = content.substring(i, i + 3)
+          if (seen.add(g)) out += ((g, id))
+          i += 1
+        }
+        out
+      }
+      .toDF("gram", "doc_id")
+      .withColumn("bucket", bucketOf(col("gram"), nBuckets))
+      .repartition(nPart, col("bucket"))
+  }
+
   // commit markers go through the Hadoop FS API (graft.util.Fs) so
   // resumable builds work on HDFS/S3A index dirs, not just local paths;
   // the SparkSession is threaded in by build()
@@ -219,31 +275,7 @@ object Builder {
     // the candidate docs only.
     if (conf.storePositions && !committed(spark, outDir, "_COMMIT_positions"))
       timed("positions") {
-        corpusIds("doc_id", "content")
-          .as[(Long, String)]
-          .flatMap { case (id, content) =>
-            val ts = Tokenizer.tokens(content)
-            val m = new java.util.HashMap[String, ArrayBuffer[Int]](64)
-            var i = 0
-            while (i < ts.length) {
-              m.computeIfAbsent(ts(i), _ => new ArrayBuffer[Int](4)) += i
-              i += 1
-            }
-            val out = new Array[(String, Long, Int, Array[Byte])](m.size)
-            val it = m.entrySet().iterator()
-            var j = 0
-            while (it.hasNext) {
-              val e = it.next()
-              val ps = e.getValue.toArray
-              out(j) = (e.getKey, id, ps.length,
-                Codec.encodeDeltas(ps.map(_.toLong)))
-              j += 1
-            }
-            out
-          }
-          .toDF("term", "doc_id", "n_pos", "pos_deltas")
-          .withColumn("bucket", bucketOf(col("term"), conf.nBuckets))
-          .repartition(nPart, col("bucket"))
+        positionsOf(corpusIds("doc_id", "content"), conf.nBuckets, nPart)
           .write.mode(SaveMode.Overwrite).partitionBy("bucket")
           .parquet(s"$outDir/positions")
         commit(spark, outDir, "_COMMIT_positions")
@@ -255,22 +287,7 @@ object Builder {
     //      doc, bucket-partitioned like terms so query grams push down
     if (conf.storeTrigrams && !committed(spark, outDir, "_COMMIT_trigrams"))
       timed("trigrams") {
-        corpusIds("doc_id", "content")
-          .as[(Long, String)]
-          .flatMap { case (id, content) =>
-            val seen = new java.util.HashSet[String](256)
-            val out = ArrayBuffer.empty[(String, Long)]
-            var i = 0
-            while (i + 3 <= content.length) {
-              val g = content.substring(i, i + 3)
-              if (seen.add(g)) out += ((g, id))
-              i += 1
-            }
-            out
-          }
-          .toDF("gram", "doc_id")
-          .withColumn("bucket", bucketOf(col("gram"), conf.nBuckets))
-          .repartition(nPart, col("bucket"))
+        trigramsOf(corpusIds("doc_id", "content"), conf.nBuckets, nPart)
           .write.mode(SaveMode.Overwrite).partitionBy("bucket")
           .parquet(s"$outDir/trigrams")
         commit(spark, outDir, "_COMMIT_trigrams")
@@ -468,6 +485,46 @@ object Builder {
   def loadStats(spark: SparkSession, indexDir: String): Stats = {
     import spark.implicits._
     spark.read.parquet(s"$indexDir/stats").as[Stats].head()
+  }
+
+  /** Layout params recorded in the index's own _META.json. Readers and
+    * rewriters (Compactor, Substring, IndexHandle) must resolve layout
+    * from here, never from caller-supplied defaults: an nBuckets mismatch
+    * computes wrong bucket ids and silently drops results. */
+  def loadConfig(spark: SparkSession, indexDir: String): Option[Config] = {
+    val p = s"$indexDir/_META.json"
+    if (!graft.util.Fs.exists(spark, p)) return None
+    val s = graft.util.Fs.read(spark, p)
+    def intOf(key: String): Option[Int] =
+      s""""$key":(\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+    for {
+      bs <- intOf("blockSize"); nb <- intOf("nBuckets")
+      ns <- intOf("nSegments"); st <- intOf("saltTarget")
+    } yield Config(blockSize = bs, nBuckets = nb, nSegments = ns,
+      saltTarget = st)
+  }
+
+  /** nBuckets from _META.json, else the caller's fallback. */
+  def metaBuckets(spark: SparkSession, indexDir: String, fallback: Int): Int =
+    loadConfig(spark, indexDir).map(_.nBuckets).getOrElse(fallback)
+
+  /** Heal a postings directory swap (Compactor) interrupted between
+    * renames: promote a complete `postings_compact`, or roll back
+    * `postings_old`. Safe to call any time; no-op on a healthy index. */
+  def recoverPostings(spark: SparkSession, indexDir: String): Unit = {
+    import graft.util.Fs
+    val post = s"$indexDir/postings"
+    val compactDir = s"$indexDir/postings_compact"
+    val old = s"$indexDir/postings_old"
+    if (!Fs.exists(spark, post)) {
+      // the swap renames postings away only AFTER postings_compact was
+      // fully written, so if postings is missing the compact dir (when
+      // present) is complete — promote it; otherwise roll back
+      if (Fs.exists(spark, compactDir)) Fs.rename(spark, compactDir, post)
+      else if (Fs.exists(spark, old)) Fs.rename(spark, old, post)
+    }
+    if (Fs.exists(spark, post) && Fs.exists(spark, old))
+      Fs.delete(spark, old) // crash after promote, before cleanup
   }
 
   /** Logical index equality — the `gin_gin_comp` analog

@@ -126,8 +126,14 @@ object Events {
             }
             cur.foreach { s =>
               state.update(s)
-              // time the open session out `gap` past its last event
-              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L)
+              // time the open session out `gap` past its last event;
+              // clamped above the current watermark — Spark rejects a
+              // timeout <= watermark, reachable when the watermark delay
+              // exceeds the session gap (an admitted event's ts+gap can
+              // already be past the global watermark)
+              state.setTimeoutTimestamp(math.max(
+                (s.lastUs + gapUs) / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
             }
             closed.iterator
           }

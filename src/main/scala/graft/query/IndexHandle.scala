@@ -37,6 +37,9 @@ class IndexHandle private (
     } else fallbackBuckets
   }
 
+  // heal an interrupted Compactor postings swap before any read
+  Builder.recoverPostings(spark, dir)
+
   val stats: Stats = Builder.loadStats(spark, dir)
 
   /** Vocabulary cap for driver-resident dictionary (~tens of MB at 1e6). */

@@ -2,6 +2,7 @@ package graft.query
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Exact substring (cross-token) search — the closest Spark analog of the
   * reference's FM-index backward search (`gin query find` matches
@@ -15,22 +16,44 @@ import org.apache.spark.sql.functions._
   *   2. verify: `contains(content, pattern)` evaluated over ONLY the
   *      candidate docs' content (a semi-joined scan, never the corpus).
   *
-  * The result is EXACT for any pattern (trigram pruning has no false
-  * negatives); patterns shorter than 3 chars fall back to a full verify
-  * scan. Returns (query_id, doc_id).
+  * The result is EXACT for any pattern >= 3 chars (trigram pruning has no
+  * false negatives). Output mirrors the reference's match decode
+  * (/root/reference/gin.c:1018-1072: the `(c:…)` count and `(v:…,o:…)`
+  * offset fields): per matching doc the occurrence count (non-overlapping,
+  * left-to-right) and the 1-based offset of the first occurrence.
+  *
+  * Guardrails for the 100 TB deployment:
+  *  - `maxMatches` caps the matching docs returned per query (lowest
+  *    doc_ids kept — deterministic), the reference's --max-matches
+  *    (/root/reference/gin.c:723-730);
+  *  - patterns shorter than 3 chars cannot use the trigram index; they
+  *    are REJECTED unless `allowShortScan = true`, because the fallback
+  *    is a full corpus content scan — at petabyte scale that cost must
+  *    be an explicit caller decision, never a default.
   */
 object Substring {
 
+  /** Returns (query_id, doc_id, n_matches, first_offset). */
   def find(spark: SparkSession, indexDir: String,
-           queries: Seq[(Long, String)], nBuckets: Int = 32): DataFrame = {
+           queries: Seq[(Long, String)], nBuckets: Int = 32,
+           maxMatches: Long = Long.MaxValue,
+           allowShortScan: Boolean = false): DataFrame = {
     import spark.implicits._
     require(graft.util.Fs.exists(spark, s"$indexDir/_COMMIT_trigrams"),
       s"index at $indexDir was built without storeTrigrams=true")
+    // bucket layout comes from the index itself, not the caller: a
+    // mismatched nBuckets computes wrong bucket ids -> silent false
+    // negatives
+    val buckets = graft.index.Builder.metaBuckets(spark, indexDir, nBuckets)
+    require(queries.forall(_._2.nonEmpty), "empty substring pattern")
+    val (indexed, short) = queries.partition(_._2.length >= 3)
+    require(short.isEmpty || allowShortScan,
+      s"patterns shorter than 3 chars (${short.map(_._2).mkString(", ")}) " +
+        "require a full corpus scan; pass allowShortScan=true to accept " +
+        "that cost explicitly")
+
     val corpus = spark.read.parquet(s"$indexDir/corpus_ids")
       .select("doc_id", "content")
-    val pats = queries.toDF("query_id", "pat")
-
-    val (indexed, short) = queries.partition(_._2.length >= 3)
 
     val viaIndex: Option[DataFrame] = if (indexed.isEmpty) None else {
       val qg = indexed.flatMap { case (qid, pat) =>
@@ -40,7 +63,7 @@ object Substring {
       val grams = qg.map(_._2).distinct
       val tri = spark.read.parquet(s"$indexDir/trigrams")
         .filter(col("bucket").isin(
-          grams.map(g => graft.util.Hashing.bucketOf(g, nBuckets)).distinct: _*)
+          grams.map(g => graft.util.Hashing.bucketOf(g, buckets)).distinct: _*)
           && col("gram").isin(grams: _*))
         .select("gram", "doc_id")
       val cand = tri.join(broadcast(qg.toDF("query_id", "gram", "n_grams")), "gram")
@@ -50,22 +73,36 @@ object Substring {
         .select("query_id", "doc_id")
       Some(cand
         .join(corpus, "doc_id")
-        .join(broadcast(pats), "query_id")
-        .filter(col("content").contains(col("pat")))
-        .select("query_id", "doc_id"))
+        .join(broadcast(indexed.toDF("query_id", "pat")), "query_id"))
     }
     val viaScan: Option[DataFrame] = if (short.isEmpty) None else {
-      // sub-trigram patterns: verify scan (rare; documented fallback)
-      Some(corpus
-        .crossJoin(broadcast(short.toDF("query_id", "pat")))
-        .filter(col("content").contains(col("pat")))
-        .select("query_id", "doc_id"))
+      // sub-trigram patterns: verify scan (explicitly opted into)
+      Some(corpus.crossJoin(broadcast(short.toDF("query_id", "pat"))))
     }
-    (viaIndex, viaScan) match {
+    val candidates = (viaIndex, viaScan) match {
       case (Some(a), Some(b)) => a.unionByName(b)
       case (Some(a), None) => a
       case (None, Some(b)) => b
-      case (None, None) => Seq.empty[(Long, Long)].toDF("query_id", "doc_id")
+      case (None, None) =>
+        Seq.empty[(Long, Long, String, String)]
+          .toDF("query_id", "doc_id", "content", "pat")
     }
+    // verify + decode in one codegen'd projection: occurrence count via
+    // the length-of-replace identity (exactly reproducible in SQL), first
+    // offset via instr (1-based)
+    val matched = candidates
+      .withColumn("first_offset", expr("instr(content, pat)").cast("long"))
+      .filter(col("first_offset") > 0)
+      .withColumn("n_matches",
+        ((length(col("content")) -
+          length(expr("replace(content, pat, '')"))) / length(col("pat")))
+          .cast("long"))
+      .select("query_id", "doc_id", "n_matches", "first_offset")
+    if (maxMatches == Long.MaxValue) matched
+    else matched
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id").orderBy("doc_id")))
+      .filter(col("__rn") <= maxMatches)
+      .drop("__rn")
   }
 }

@@ -21,7 +21,15 @@ import graft.util.Fs
 object Compactor {
 
   def compact(spark: SparkSession, indexDir: String,
-              conf: Builder.Config): Unit = {
+              callerConf: Builder.Config = Builder.Config()): Unit = {
+    Builder.recoverPostings(spark, indexDir) // heal a prior interrupted swap
+    // layout params come from the index itself (_META.json), NOT the
+    // caller: rewriting segments with a mismatched nBuckets would recompute
+    // bucket values readers no longer find (silently missing results)
+    val conf = Builder.loadConfig(spark, indexDir)
+      .map(_.copy(shufflePartitions = callerConf.shufflePartitions,
+        verifySegments = callerConf.verifySegments))
+      .getOrElse(callerConf)
     val stats = Builder.loadStats(spark, indexDir)
     val nPart = if (conf.shufflePartitions > 0) conf.shufflePartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -33,7 +41,11 @@ object Compactor {
         s"$indexDir/postings_raw", s"$tmpDir/segment=$g", g, conf,
         stats.n_docs, stats.avgdl, nPart)
 
-    // swap: retire the old segment tree, promote the compacted one
+    // crash-safe swap: postings_compact is complete here, so every
+    // intermediate state is recoverable by Builder.recoverPostings
+    // (postings missing + compact present -> promote; + old present ->
+    // roll back). The reference's analog is the atomic single-blob index
+    // rewrite (/root/reference/gin.c:375-398).
     Fs.delete(spark, s"$indexDir/postings_old")
     Fs.rename(spark, s"$indexDir/postings", s"$indexDir/postings_old")
     Fs.rename(spark, tmpDir, s"$indexDir/postings")

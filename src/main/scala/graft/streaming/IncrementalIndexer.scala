@@ -65,7 +65,13 @@ object IncrementalIndexer {
       return
     }
 
-    val nPart = if (conf.shufflePartitions > 0) conf.shufflePartitions
+    // appends must follow the INDEX's layout (_META.json), not the
+    // caller's defaults: a mismatched nBuckets would write rows into
+    // buckets readers never probe
+    val c = Builder.loadConfig(spark, indexDir)
+      .map(_.copy(shufflePartitions = conf.shufflePartitions))
+      .getOrElse(conf)
+    val nPart = if (c.shufflePartitions > 0) c.shufflePartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     // the doc-id base is pinned in a per-batch marker BEFORE any append:
     // a retry after a partial failure must reuse the original base (stats
@@ -132,7 +138,7 @@ object IncrementalIndexer {
         }
         out
       }
-      .withColumn("bucket", Builder.bucketOf(col("term"), conf.nBuckets))
+      .withColumn("bucket", Builder.bucketOf(col("term"), c.nBuckets))
       .cache()
     raw.repartition(nPart, col("bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
@@ -144,15 +150,34 @@ object IncrementalIndexer {
       .sortWithinPartitions("term", "doc_id")
       .select("term", "doc_id", "tf", "dl")
       .as[Posting]
-      .mapPartitions(Builder.encodeBlocks(_, avgdl, conf.blockSize))
-      .withColumn("bucket", Builder.bucketOf(col("term"), conf.nBuckets))
+      .mapPartitions(Builder.encodeBlocks(_, avgdl, c.blockSize))
+      .withColumn("bucket", Builder.bucketOf(col("term"), c.nBuckets))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$indexDir/postings/segment=s$batchId")
+
+    // positions/trigrams appends: an index bootstrapped WITH these tables
+    // must keep serving exact phrase/substring results over streamed docs
+    // — the commit markers promise readers a complete view, so every
+    // ingest appends to them too (same staged batch-prefixed promote)
+    if (Fs.exists(spark, s"$indexDir/_COMMIT_positions")) {
+      Builder.positionsOf(withIds, c.nBuckets, nPart)
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+        .parquet(s"$staging/positions")
+      Fs.promoteStaged(spark, s"$staging/positions",
+        s"$indexDir/positions", prefix)
+    }
+    if (Fs.exists(spark, s"$indexDir/_COMMIT_trigrams")) {
+      Builder.trigramsOf(withIds, c.nBuckets, nPart)
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+        .parquet(s"$staging/trigrams")
+      Fs.promoteStaged(spark, s"$staging/trigrams",
+        s"$indexDir/trigrams", prefix)
+    }
 
     // dictionary delta-merge: O(batch + vocabulary), NOT O(postings_raw)
     val delta = raw.groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
-    applyDictDelta(spark, indexDir, delta, batchId, nPart, conf.nBuckets)
+    applyDictDelta(spark, indexDir, delta, batchId, nPart, c.nBuckets)
 
     raw.unpersist()
     withIds.unpersist()

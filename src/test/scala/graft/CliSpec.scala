@@ -38,7 +38,16 @@ class CliSpec extends SparkTestBase {
 
     val sub = Cli.run(spark, Array("substring", "--index", idx,
       "--queries", qf.toString, "--buckets", "8")).get
-    assert(sub.columns.toSeq == Seq("query_id", "doc_id"))
+    assert(sub.columns.toSeq ==
+      Seq("query_id", "doc_id", "n_matches", "first_offset"))
+
+    // flag/opt scanner (shared by main() and run()): a standalone flag
+    // between --key value pairs must not misalign the pairing (the r2
+    // main() bug: --resolve --out X paired (--resolve, --out) and
+    // silently dropped the output dir)
+    val parsed = Cli.opts(Array("query", "--index", idx,
+      "--queries", qf.toString, "--resolve", "--out", "/r", "--positions"))
+    assert(parsed.get("out").contains("/r") && parsed("index") == idx)
 
     Cli.run(spark, Array("cache", "--index", idx, "--min-df", "50",
       "--k", "5", "--buckets", "8"))

@@ -167,6 +167,72 @@ class StreamingSpec extends SparkTestBase {
     assert(got.size > 3) // multiple sessions per user actually split
   }
 
+  test("streamed index keeps phrase + substring exact (positions/trigrams append)") {
+    import spark.implicits._
+    val dir = tmpDir("stream-pos")
+    val conf = Builder.Config(blockSize = 16, nBuckets = 8, nSegments = 1,
+      saltTarget = 40, storePositions = true, storeTrigrams = true)
+    val b0 = (0L until 40L).map(i => Synth.doc(13L, i))
+    IncrementalIndexer.ingestBatch(spark, b0.toDF(), dir, conf, 0L) // bootstrap
+    // post-bootstrap doc with a unique phrase + unique raw substring
+    val late = graft.index.CodeDoc("zrepo", "zz_late.txt", "c1", "x",
+      "prefix tokens qqalpha qqbravo qqcharlie and rawXYZneedle99 tail")
+    IncrementalIndexer.ingestBatch(spark, Seq(late).toDF(), dir, conf, 1L)
+
+    val ph = graft.query.Phrase.searchTopK(spark, dir,
+      Seq(Searcher.Query(1, "qqalpha qqbravo qqcharlie")), 10)
+      .select("doc_id").as[Long].collect()
+    assert(ph.length == 1, "phrase over a streamed doc must match")
+    val sub = graft.query.Substring.find(spark, dir,
+      Seq(1L -> "rawXYZneedle99"))
+      .select("doc_id", "n_matches", "first_offset")
+      .as[(Long, Long, Long)].collect()
+    assert(sub.length == 1 && sub(0)._2 == 1L &&
+      sub(0)._3 == late.content.indexOf("rawXYZneedle99") + 1)
+    // the streamed doc is the one found (ids are dense, so it's the max)
+    val maxId = spark.read.parquet(s"$dir/docmeta")
+      .agg(max("doc_id")).as[Long].head()
+    assert(ph(0) == maxId && sub(0)._1 == maxId)
+
+    // retry idempotency also holds for the positions/trigrams appends
+    graft.util.Fs.delete(spark, s"$dir/_COMMIT_stream_batch_1")
+    graft.util.Fs.write(spark, s"$dir/_BASE_b1", "40")
+    IncrementalIndexer.ingestBatch(spark, Seq(late).toDF(), dir, conf, 1L)
+    assert(spark.read.parquet(s"$dir/positions")
+      .filter(col("doc_id") === maxId).count() ==
+      graft.index.Tokenizer.tokens(late.content).distinct.length)
+  }
+
+  test("compactor reads layout from _META.json and survives a crashed swap") {
+    import spark.implicits._
+    val dir = tmpDir("compact-meta")
+    // non-default layout: nBuckets=4, nSegments=2
+    val conf = Builder.Config(blockSize = 16, nBuckets = 4, nSegments = 2,
+      saltTarget = 40)
+    val docs = (0L until 80L).map(i => Synth.doc(31L, i))
+    IncrementalIndexer.ingestBatch(spark, docs.take(50).toDF(), dir, conf, 0L)
+    IncrementalIndexer.ingestBatch(spark, docs.drop(50).toDF(), dir, conf, 1L)
+    val qs = Seq(Searcher.Query(1, "id_0"), Searcher.Query(2, "id_0 id_1"))
+    def hits() = Searcher.searchTopK(spark, dir, qs, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val before = hits()
+    // compact with DEFAULT caller config (nBuckets=32 etc.): the index's
+    // own _META.json must win or bucket pushdown would silently miss rows
+    graft.streaming.Compactor.compact(spark, dir)
+    assert(hits() == before && before.nonEmpty)
+    val buckets = spark.read.parquet(s"$dir/postings")
+      .select("bucket").distinct().as[Int].collect()
+    assert(buckets.forall(b => b >= 0 && b < 4))
+
+    // crashed swap: postings renamed away, compact dir present -> any
+    // reader (IndexHandle.open) heals it
+    graft.util.Fs.rename(spark, s"$dir/postings", s"$dir/postings_compact")
+    graft.query.IndexHandle.invalidate(spark, dir)
+    assert(hits() == before)
+    assert(graft.util.Fs.exists(spark, s"$dir/postings"))
+    assert(!graft.util.Fs.exists(spark, s"$dir/postings_compact"))
+  }
+
   test("a partially-failed batch retry converges (idempotent appends + dict delta)") {
     import spark.implicits._
     val dir = tmpDir("stream-retry")

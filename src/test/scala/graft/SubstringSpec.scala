@@ -6,7 +6,9 @@ import graft.index.Builder
 import graft.query.Substring
 
 /** Substring (cross-token) search: trigram-index candidates + exact
-  * contains verify must equal a brute-force corpus scan. */
+  * contains verify must equal a brute-force corpus scan, including the
+  * per-doc occurrence count and first offset the reference's match
+  * decode emits. */
 class SubstringSpec extends SparkTestBase {
 
   private lazy val corpus = Synth.corpus(spark, 200, seed = 5L).cache()
@@ -18,6 +20,14 @@ class SubstringSpec extends SparkTestBase {
     d
   }
 
+  /** Non-overlapping left-to-right occurrence count (the engine's
+    * semantics, same as length-of-replace). */
+  private def countOcc(content: String, pat: String): Long = {
+    var n = 0L; var i = content.indexOf(pat)
+    while (i >= 0) { n += 1; i = content.indexOf(pat, i + pat.length) }
+    n
+  }
+
   test("substring results equal brute-force contains over the corpus") {
     import spark.implicits._
     val sample = Synth.doc(5L, 42L).content
@@ -26,19 +36,52 @@ class SubstringSpec extends SparkTestBase {
       2L -> "id_1 id_",                        // common fragment
       3L -> "zzqx_never_present",              // empty
       4L -> "d_")                              // sub-trigram fallback
-    val got = Substring.find(spark, indexDir, queries, nBuckets = 8)
-      .as[(Long, Long)].collect().toSet
+    val got = Substring.find(spark, indexDir, queries, nBuckets = 8,
+        allowShortScan = true)
+      .as[(Long, Long, Long, Long)].collect().toSet
     val withIds = Builder.withDocIds(corpus)
       .select($"doc_id", $"content").as[(Long, String)].collect()
     val want = (for {
       (qid, pat) <- queries
       (docId, content) <- withIds
       if content.contains(pat)
-    } yield (qid, docId)).toSet
+    } yield (qid, docId, countOcc(content, pat),
+        (content.indexOf(pat) + 1).toLong)).toSet
     assert(got == want)
     assert(got.exists(_._1 == 1L))   // the sampled substring matches
     assert(!got.exists(_._1 == 3L))  // no false positives
     assert(got.exists(_._1 == 4L))   // short-pattern fallback works
+    assert(got.exists(_._3 > 1L))    // some doc has multiple occurrences
+  }
+
+  test("maxMatches caps results per query deterministically (lowest doc ids)") {
+    import spark.implicits._
+    val queries = Seq(1L -> "id_1 id_")
+    val all = Substring.find(spark, indexDir, queries, nBuckets = 8)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(all.length > 3)
+    val capped = Substring.find(spark, indexDir, queries, nBuckets = 8,
+        maxMatches = 3L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(capped.toSeq == all.take(3).toSeq)
+  }
+
+  test("sub-trigram patterns are rejected unless the full scan is opted into") {
+    intercept[IllegalArgumentException] {
+      Substring.find(spark, indexDir, Seq(1L -> "ab"), nBuckets = 8)
+    }
+  }
+
+  test("bucket layout is read from _META.json, not the caller parameter") {
+    import spark.implicits._
+    // deliberately wrong caller nBuckets: results must still be complete
+    val sample = Synth.doc(5L, 42L).content
+    val queries = Seq(1L -> sample.substring(10, 30))
+    val right = Substring.find(spark, indexDir, queries, nBuckets = 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val wrongParam = Substring.find(spark, indexDir, queries, nBuckets = 32)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(right.nonEmpty && wrongParam == right)
   }
 
   test("trigram candidates prune the verify scan (index actually narrows)") {
