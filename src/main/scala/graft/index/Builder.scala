@@ -2,7 +2,6 @@ package graft.index
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, SaveMode}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import scala.collection.mutable.ArrayBuffer
 
 /** Index build job — the Spark-native analog of `gin index`
@@ -57,21 +56,34 @@ object Builder {
 
   /** Dense deterministic doc ids equal to
     * `row_number() over (order by repo, path, commit) - 1`, computed
-    * without a global single-partition sort. */
+    * without ANY single-partition stage: the corpus is range-partitioned
+    * and sorted on the full ordering key, then ids are assigned by a
+    * per-partition count pass + prefix-sum (RDD zipWithIndex) — the
+    * classic scalable dense-rank. Unlike the r2 per-repo window this
+    * parallelizes INSIDE a repo too, so one 10M-file monorepo no longer
+    * serializes id assignment into a single task. Ids are a pure
+    * function of the data order (sampling only moves partition
+    * boundaries, never the order), so resumed builds stay byte-identical
+    * — the deterministic-permutation analog
+    * (/root/reference/src/gin_gin.c:103-112). */
   def withDocIds(corpus: DataFrame): DataFrame = {
     val spark = corpus.sparkSession
-    val repoCounts = corpus.groupBy("repo").agg(count(lit(1)).as("cnt"))
-    // prefix sum over repos: tiny (one row per repo), fine as a window
-    val wOff = Window.orderBy("repo").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = repoCounts
-      .withColumn("repo_offset", coalesce(sum("cnt").over(wOff), lit(0L)))
-      .select("repo", "repo_offset")
-    val wRepo = Window.partitionBy("repo").orderBy("path", "commit")
-    corpus
-      .withColumn("rn", row_number().over(wRepo))
-      .join(broadcast(offsets), Seq("repo"))
-      .withColumn("doc_id", col("repo_offset") + col("rn") - 1)
-      .drop("rn", "repo_offset")
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // explicit partition count: user-specified widths are exempt from AQE
+    // coalescing, which would otherwise pack the whole (pre-explode-small)
+    // corpus into few tasks and serialize the sha/tokenize pass downstream
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = corpus
+      .repartitionByRange(nPart, col("repo"), col("path"), col("commit"))
+      .sortWithinPartitions("repo", "path", "commit")
+    val schema = StructType(sorted.schema.fields :+
+      StructField("doc_id", LongType, nullable = false))
+    // zipWithIndex = one cheap count job over the sorted shuffle output
+    // (partition sizes), then the data pass with per-partition offsets
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, schema)
   }
 
   def bucketOf(term: org.apache.spark.sql.Column, nBuckets: Int): org.apache.spark.sql.Column =
@@ -179,9 +191,11 @@ object Builder {
     // ingest-snapshot pattern: it also makes resume cheap (no id
     // recomputation) and pins id determinism even if the source moves.
     if (!committed(spark, outDir, "_COMMIT_corpus_ids")) timed("corpus_ids") {
+      // no repartition here: withDocIds' range shuffle already leaves
+      // ~shuffle.partitions row-balanced partitions (the r2 per-repo
+      // window needed a width-restoring shuffle; this saves it)
       withDocIds(corpus)
         .select("doc_id", "repo", "path", "commit", "lang", "content")
-        .repartition(nPart) // restore width after the id window
         .as[(Long, String, String, String, String, String)]
         .mapPartitions { it =>
           // per-doc derived metadata in the SAME pass as the snapshot

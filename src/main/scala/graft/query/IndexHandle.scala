@@ -105,6 +105,39 @@ class IndexHandle private (
   lazy val headCache2: (Map[(String, String), Seq[Scored]], Int) =
     HeadCache.loadPairs(spark, dir)
 
+  /** Per-term merged block [doc_id_base, doc_id_max] intervals (coarsened
+    * to <= Searcher.MaxIvPerTerm by IntervalAgg), cached on the handle:
+    * block metadata is index-static until ingest invalidates the handle,
+    * so the relational prune pays its distributed interval aggregation
+    * ONCE per term instead of once per query batch (the r2 relational
+    * cold-start fix). Terms with no blocks cache an empty array so they
+    * are never recomputed either. */
+  private val intervalCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long)]]()
+
+  /** Merged intervals for `terms`; absent/empty terms are omitted. */
+  def intervalsFor(terms: Seq[String]): Map[String, Array[(Long, Long)]] = {
+    import spark.implicits._
+    val missing = terms.distinct.filterNot(intervalCache.containsKey)
+    if (missing.nonEmpty) {
+      val ivAgg = new IntervalAgg(Searcher.MaxIvPerTerm)
+      blocksFor(missing)
+        .select(col("term"), col("doc_id_base"), col("doc_id_max"))
+        .as[(String, Long, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(ivAgg.toColumn.name("iv"))
+        .collect()
+        .foreach { case (t, iv) => intervalCache.put(t, iv.toArray) }
+      missing.filterNot(intervalCache.containsKey)
+        .foreach(t => intervalCache.put(t, Array.empty))
+    }
+    terms.flatMap { t =>
+      val iv = intervalCache.get(t)
+      if (iv == null || iv.isEmpty) None else Some(t -> iv)
+    }.toMap
+  }
+
   /** df per term for the given terms (absent term = absent key). */
   def dfOf(terms: Seq[String]): Map[String, Long] = dictInMemory match {
     case Some(m) => terms.flatMap(t => m.get(t).map(t -> _)).toMap

@@ -184,7 +184,8 @@ object Searcher {
 
     // block-max/interval pruning (AND only): a conjunctive candidate doc
     // must lie in every term's covered doc ranges
-    val blocks = if (mode == And) pruneBlocks(spark, blocks0, live, dict) else blocks0
+    val blocks = if (mode == And) pruneBlocks(spark, handle, blocks0, live)
+      else blocks0
 
     // native generator decode: binary block columns -> posting rows,
     // no case-class encoder round-trip
@@ -232,20 +233,32 @@ object Searcher {
       .withColumn("n_matches", coalesce(col("n_matches"), lit(0L)))
   }
 
-  /** All conjunctive (AND) matching (query_id, doc_id) pairs. */
+  /** All conjunctive (AND) matching (query_id, doc_id) pairs. Runs the
+    * same interval pruning as the scoring path: only blocks overlapping
+    * every query term's covered doc ranges are decoded — the counting
+    * path gets the IMT-style pre-merge too, not just top-k. */
   def searchCandidates(spark: SparkSession, indexDir: String,
                        queries: Seq[Query], nBuckets: Int = 32): DataFrame = {
     import spark.implicits._
+    val handle = IndexHandle.open(spark, indexDir, nBuckets)
     val termsPerQuery = queries.map(q => q.query_id -> Tokenizer.tokens(q.text).distinct.toSeq).toMap
     val allTerms = termsPerQuery.values.flatten.toSeq.distinct
-    if (allTerms.isEmpty)
-      return Seq.empty[(Long, Long)].toDF("query_id", "doc_id")
-    val postings = IndexHandle.open(spark, indexDir, nBuckets)
-      .blocksFor(allTerms).select(col("term"),
+    val emptyOut = Seq.empty[(Long, Long)].toDF("query_id", "doc_id")
+    if (allTerms.isEmpty) return emptyOut
+    // a conjunctive query with any absent term matches nothing: drop it
+    // before touching postings (the DEAD-fork analog)
+    val dict = handle.dfOf(allTerms)
+    val live = termsPerQuery.filter { case (_, ts) =>
+      ts.nonEmpty && ts.forall(dict.contains)
+    }
+    if (live.isEmpty) return emptyOut
+    val liveTerms = live.values.flatten.toSeq.distinct
+    val blocks = pruneBlocks(spark, handle, handle.blocksFor(liveTerms), live)
+    val postings = blocks.select(col("term"),
         graft.functions.DecodePostings.rows(col("num_docs"),
           col("doc_deltas"), col("tfs"), col("dls"))
           .as(Seq("doc_id", "tf", "dl")))
-    val qt = termsPerQuery.toSeq.flatMap { case (qid, ts) =>
+    val qt = live.toSeq.flatMap { case (qid, ts) =>
       ts.map(t => (qid, t, ts.size))
     }.toDF("query_id", "term", "n_terms")
     postings.join(broadcast(qt), "term")
@@ -267,22 +280,17 @@ object Searcher {
   /** Interval-intersection pruning on block metadata (AND only), with NO
     * driver-size cliff: per-term block [base,max] intervals are merged
     * DISTRIBUTEDLY by IntervalAgg (each term reports <= MaxIvPerTerm
-    * coarsened intervals — metadata rows never collect to the driver),
+    * coarsened intervals — metadata rows never collect to the driver) and
+    * CACHED on the IndexHandle (index-static until ingest invalidates),
     * the tiny per-query interval intersection runs on the driver, and the
     * surviving intervals semi-join the block table via a broadcast range
     * join. The shape scales with |query terms| · MaxIvPerTerm, not with
-    * index size. */
-  private[graft] def pruneBlocks(spark: SparkSession, blocks: DataFrame,
-      live: Map[Long, Seq[String]], dict: Map[String, Long]): DataFrame = {
+    * index size — and repeat queries pay no interval jobs at all. */
+  private[graft] def pruneBlocks(spark: SparkSession, handle: IndexHandle,
+      blocks: DataFrame, live: Map[Long, Seq[String]]): DataFrame = {
     import spark.implicits._
-    val ivAgg = new IntervalAgg(MaxIvPerTerm)
     val perTerm: Map[String, Array[(Long, Long)]] =
-      blocks.select($"term", $"doc_id_base", $"doc_id_max")
-        .as[(String, Long, Long)]
-        .groupByKey(_._1)
-        .mapValues(r => (r._2, r._3))
-        .agg(ivAgg.toColumn.name("iv"))
-        .collect().map { case (t, iv) => t -> iv.toArray }.toMap
+      handle.intervalsFor(live.values.flatten.toSeq.distinct)
     val survByTerm =
       scala.collection.mutable.HashMap.empty[String,
         scala.collection.mutable.ArrayBuffer[(Long, Long)]]

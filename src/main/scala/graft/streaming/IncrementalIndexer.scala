@@ -93,7 +93,6 @@ object IncrementalIndexer {
     val withIds = Builder.withDocIds(batch)
       .withColumn("doc_id", col("doc_id") + base)
       .select("doc_id", "repo", "path", "commit", "lang", "content")
-      .repartition(nPart)
       .as[(Long, String, String, String, String, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("SHA-256")

@@ -204,6 +204,31 @@ class IndexSpec extends SparkTestBase {
     assert(counts(2L) == oracleCount)
   }
 
+  test("docID assignment parallelizes inside one giant repo (monorepo)") {
+    import spark.implicits._
+    val n = 20000
+    // ONE repo: the r2 per-repo window would funnel all n rows through a
+    // single task; the range-sorted assignment must not
+    val corpus = spark.range(n).select(
+      lit("monorepo").as("repo"),
+      format_string("src/%02d/f%08d.c", pmod(col("id"), lit(37)), col("id"))
+        .as("path"),
+      lit("c0").as("commit"), lit("c").as("lang"),
+      concat(lit("alpha beta f"), col("id").cast("string")).as("content"))
+    val ids = Builder.withDocIds(corpus)
+    assert(ids.rdd.getNumPartitions > 1,
+      "single-repo id assignment must run in >1 task")
+    val got = ids.select("path", "doc_id").as[(String, Long)]
+      .collect().sortBy(_._2)
+    // dense 0..n-1, and identical to row_number over (repo, path, commit)
+    assert(got.map(_._2).toSeq == (0L until n).toSeq)
+    assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq)
+    // deterministic across recomputation
+    val again = Builder.withDocIds(corpus).select("path", "doc_id")
+      .as[(String, Long)].collect().sortBy(_._2)
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("resume: deleting one segment commit rebuilds only it, identically") {
     import java.nio.file.{Files, Paths}
     val d = tmpDir("graft-resume")

@@ -76,9 +76,8 @@ class PlanSpec extends SparkTestBase {
       Builder.Config(blockSize = 64, nBuckets = 4, nSegments = 1, saltTarget = 1000000))
     val h = IndexHandle.open(spark, d, 4)
     val live = Map(1L -> Seq("rare", "common"))
-    val dict = h.dfOf(Seq("rare", "common"))
     val all = h.blocksFor(Seq("rare", "common"))
-    val pruned = Searcher.pruneBlocks(spark, all, live, dict)
+    val pruned = Searcher.pruneBlocks(spark, h, all, live)
     val total = all.count()
     val kept = pruned.count()
     assert(kept < total / 3, s"pruning too weak: $kept of $total blocks")
@@ -87,10 +86,23 @@ class PlanSpec extends SparkTestBase {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
+    // per-term intervals are cached on the handle: a second lookup hands
+    // back the SAME arrays (no recomputation jobs for repeat queries)
+    val iv1 = h.intervalsFor(Seq("rare", "common"))
+    val iv2 = h.intervalsFor(Seq("rare", "common"))
+    assert(iv1.keySet == Set("rare", "common"))
+    iv1.keys.foreach(t => assert(iv1(t) eq iv2(t)))
     // ranking through the full relational path stays correct
     val rows = Searcher.searchTopKRelational(spark, d,
       Seq(Searcher.Query(1, "rare common")), 20, Searcher.And, 4).collect()
     assert(rows.length == 10) // exactly the 10 docs containing both
+    // the COUNTING path is pruned by the same broadcast interval semi-join
+    val cnt = Searcher.countMatches(spark, d,
+      Seq(Searcher.Query(1, "rare common")), 4)
+    val cntRows = cnt.collect()
+    assert(cntRows.length == 1 && cntRows(0).getLong(1) == 10L)
+    val cntPlan = cnt.queryExecution.executedPlan.toString
+    assert(cntPlan.contains("LeftSemi"), cntPlan)
     h.close()
   }
 
