@@ -186,7 +186,7 @@ object Gate {
         col("commit"), col("dl").cast("long").as("dl"), col("content_sha256"))
 
   def qDictionary(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"${indexDir(s, dir)}/dictionary")
+    Builder.dictionary(s, indexDir(s, dir))
       .select(col("term"), col("df").cast("long"), col("cf").cast("long"))
 
   def qStats(s: SparkSession, dir: String): DataFrame =

@@ -18,8 +18,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Gate.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
-    * same parquet tables. Keys omitted here (LSH/minhash/simhash/
-    * fingerprint/multimodal stub) are hash-function-specific and get the
-    * driver's rows-only check; unit tests cover their semantics. */
+    * same parquet tables. EVERY query key has a full oracle — the
+    * probabilistic ops (LSH/minhash/simhash/fingerprint) are built on the
+    * cross-engine md5-derived h60 hash and exact integer arithmetic, so
+    * nothing falls back to the driver's weaker rows-only check. */
   def oracleSql: Map[String, String] = Gate.oracle
 }

@@ -19,12 +19,13 @@ import scala.collection.mutable.ArrayBuffer
   * }}}
   *
   * Scale design notes (for a 1000-executor / 100 TB deployment):
-  *  - docID assignment avoids a single-partition global window: a
-  *    `row_number` window partitioned by `repo` (parallel) plus a tiny
-  *    prefix-sum over per-repo counts gives the same dense ordering as
-  *    `row_number() over (order by repo, path, commit)` — the
-  *    vertex-permutation analog (/root/reference/src/gin_gin.c:103-112)
-  *    that makes docID deltas small within a repo.
+  *  - docID assignment has NO single-partition stage at all: a range
+  *    sort on (repo, path, commit) + per-partition count prefix-sum
+  *    (withDocIds) yields `row_number() over (order by repo, path,
+  *    commit)` with full parallelism even inside one giant monorepo —
+  *    the vertex-permutation analog
+  *    (/root/reference/src/gin_gin.c:103-112) that makes docID deltas
+  *    small within a repo.
   *  - the one wide shuffle is `repartitionByRange($"term", $"doc_id")`:
   *    range partitioning on the *pair* splits a Zipf head term across
   *    many partitions by doc range — built-in salting, no hot partition.
@@ -392,7 +393,7 @@ object Builder {
     // BLOCK. (RDD surface is justified: genuinely imperative
     // per-partition run-length encoding.)
     val blocksRdd = sorted.queryExecution.toRdd
-      .mapPartitions(encodeBlockRows(_, avgdl, conf.blockSize))
+      .mapPartitions(encodeBlockRows(_, conf.blockSize))
     spark.createDataset(blocksRdd)(
         org.apache.spark.sql.Encoders.product[PostingBlock])
       .withColumn("bucket", bucketOf(col("term"), conf.nBuckets))
@@ -404,7 +405,7 @@ object Builder {
     * every field is copied to primitives immediately and the term key is
     * cloned once per term change. */
   private def encodeBlockRows(rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
-      avgdl: Double, blockSize: Int): Iterator[PostingBlock] =
+      blockSize: Int): Iterator[PostingBlock] =
     new Iterator[PostingBlock] {
       private val in = rows.buffered
       private var blockSeq = 0
@@ -446,13 +447,13 @@ object Builder {
 
   /** Encode a (term, doc_id)-sorted partition into posting blocks.
     * Pure iterator -> iterator; one pass, bounded memory (blockSize). */
-  def encodeBlocks(it: Iterator[Posting], avgdl: Double, blockSize: Int): Iterator[PostingBlock] =
-    encodeBlocksKeyed(it.map(p => (p, 0)), avgdl, blockSize)
+  def encodeBlocks(it: Iterator[Posting], blockSize: Int): Iterator[PostingBlock] =
+    encodeBlocksKeyed(it.map(p => (p, 0)), blockSize)
 
   /** Like encodeBlocks but additionally breaks blocks when `key` changes
     * (the salt id): a block must never span a salt boundary or its
     * [base, max] range would overlap other partitions' blocks. */
-  def encodeBlocksKeyed(it: Iterator[(Posting, Int)], avgdl: Double,
+  def encodeBlocksKeyed(it: Iterator[(Posting, Int)],
                         blockSize: Int): Iterator[PostingBlock] =
     new Iterator[PostingBlock] {
       private val in = it.buffered
@@ -522,6 +523,50 @@ object Builder {
   def metaBuckets(spark: SparkSession, indexDir: String, fallback: Int): Int =
     loadConfig(spark, indexDir).map(_.nBuckets).getOrElse(fallback)
 
+  /** The logical dictionary view: the base `dictionary/` table merged
+    * with any append-only `dict_deltas/` segments streaming ingest has
+    * written since the last compaction (merge-on-read, the LSM pattern).
+    * Per micro-batch ingest cost is O(batch) — never O(vocabulary); the
+    * Compactor folds deltas back into the base. Columns: (term, df, cf,
+    * bucket); both inputs are bucket-partitioned, so term/bucket filters
+    * push down into BOTH scans before the merge. */
+  def dictionary(spark: SparkSession, indexDir: String): DataFrame = {
+    val base = spark.read.parquet(s"$indexDir/dictionary")
+      .select("term", "df", "cf", "bucket")
+    val deltaDir = s"$indexDir/dict_deltas"
+    if (!graft.util.Fs.exists(spark, deltaDir)) base
+    else base
+      .unionByName(spark.read.parquet(deltaDir)
+        .select("term", "df", "cf", "bucket"))
+      .groupBy("term", "bucket")
+      .agg(sum("df").as("df"), sum("cf").as("cf"))
+      .select("term", "df", "cf", "bucket")
+  }
+
+  /** Heal a dictionary fold (Compactor.foldDictionary) interrupted
+    * between steps. `dictionary_predelta` existing alongside `dictionary`
+    * means the swap completed but cleanup didn't: the folded base already
+    * contains the deltas, so the deltas (and the predelta backup) must be
+    * dropped or they would double-count. A missing `dictionary` promotes
+    * the complete `dictionary_compact` (written fully before any rename)
+    * or rolls back the predelta backup. */
+  def recoverDictionary(spark: SparkSession, indexDir: String): Unit = {
+    import graft.util.Fs
+    val dict = s"$indexDir/dictionary"
+    val compactDir = s"$indexDir/dictionary_compact"
+    val pre = s"$indexDir/dictionary_predelta"
+    if (!Fs.exists(spark, dict)) {
+      if (Fs.exists(spark, compactDir)) {
+        Fs.rename(spark, compactDir, dict)
+        Fs.delete(spark, s"$indexDir/dict_deltas")
+        Fs.delete(spark, pre)
+      } else if (Fs.exists(spark, pre)) Fs.rename(spark, pre, dict)
+    } else if (Fs.exists(spark, pre)) {
+      Fs.delete(spark, s"$indexDir/dict_deltas")
+      Fs.delete(spark, pre)
+    }
+  }
+
   /** Heal a postings directory swap (Compactor) interrupted between
     * renames: promote a complete `postings_compact`, or roll back
     * `postings_old`. Safe to call any time; no-op on a healthy index. */
@@ -547,8 +592,7 @@ object Builder {
   def indexEqual(spark: SparkSession, dirA: String, dirB: String): Boolean = {
     import spark.implicits._
     if (loadStats(spark, dirA) != loadStats(spark, dirB)) return false
-    def dict(d: String) = spark.read.parquet(s"$d/dictionary")
-      .select("term", "df", "cf")
+    def dict(d: String) = dictionary(spark, d).select("term", "df", "cf")
     if (dict(dirA).except(dict(dirB)).limit(1).count() != 0) return false
     if (dict(dirB).except(dict(dirA)).limit(1).count() != 0) return false
     def postings(d: String) = spark.read.parquet(s"$d/postings")

@@ -40,7 +40,7 @@ object HeadCache {
     val handle = IndexHandle.open(spark, indexDir)
     val stats = handle.stats
     val headTerms: Seq[(String, Long)] =
-      spark.read.parquet(s"$indexDir/dictionary")
+      Builder.dictionary(spark, indexDir)
         .filter(col("df") >= minDf)
         .select("term", "df").as[(String, Long)].collect().toSeq
     if (headTerms.isEmpty) {
@@ -80,25 +80,33 @@ object HeadCache {
 
   /** Precompute depth-2 top-k for every unordered pair of the
     * `maxPairTerms` highest-df terms, via the distributed relational
-    * search path (identical ranking semantics to WAND). */
+    * search path (identical ranking semantics to WAND).
+    *
+    * The pair set grows as maxPairTerms²/2 and every head-term posting
+    * row fans out to each pair containing it, so ALL pairs in one
+    * relational call is a mega-join at large maxPairTerms. Pairs are
+    * staged in `pairBatch`-sized query batches instead — bounded fan-out
+    * and broadcast size per job, results appended per batch — so the knob
+    * can rise without a single unbounded stage. */
   def buildPairs(spark: SparkSession, indexDir: String, maxPairTerms: Int,
-                 k: Int, nBuckets: Int = 32): Unit = {
+                 k: Int, nBuckets: Int = 32, pairBatch: Int = 1024): Unit = {
     import spark.implicits._
-    val top: Seq[String] = spark.read.parquet(s"$indexDir/dictionary")
+    val top: Seq[String] = Builder.dictionary(spark, indexDir)
       .orderBy(col("df").desc, col("term"))
       .select("term").as[String].take(maxPairTerms).toSeq
     val pairs: Seq[(String, String)] = for {
       i <- top.indices; j <- (i + 1) until top.length
     } yield if (top(i) < top(j)) (top(i), top(j)) else (top(j), top(i))
+    Fs.delete(spark, s"$indexDir/head_cache2") // appends below: clean slate
     if (pairs.isEmpty) {
       Seq.empty[(String, String, Int, Long, Double)]
         .toDF("term_a", "term_b", "rank", "doc_id", "score")
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/head_cache2")
-    } else {
-      val queries = pairs.zipWithIndex.map { case ((a, b), i) =>
+    } else pairs.zipWithIndex.grouped(pairBatch).foreach { batch =>
+      val queries = batch.map { case ((a, b), i) =>
         Searcher.Query(i.toLong, s"$a $b")
       }
-      val byId = pairs.zipWithIndex.map { case (p, i) => i.toLong -> p }.toMap
+      val byId = batch.map { case (p, i) => i.toLong -> p }.toMap
       val byIdB = spark.sparkContext.broadcast(byId)
       Searcher.searchTopKRelational(spark, indexDir, queries, k,
           Searcher.And, nBuckets)
@@ -109,7 +117,7 @@ object HeadCache {
         }
         .toDF("term_a", "term_b", "rank", "doc_id", "score")
         .coalesce(4)
-        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/head_cache2")
+        .write.mode(SaveMode.Append).parquet(s"$indexDir/head_cache2")
     }
     Fs.write(spark, s"$indexDir/_COMMIT_head_cache2",
       s"""{"n":$maxPairTerms,"k":$k}""")

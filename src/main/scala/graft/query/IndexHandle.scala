@@ -37,21 +37,28 @@ class IndexHandle private (
     } else fallbackBuckets
   }
 
-  // heal an interrupted Compactor postings swap before any read
+  // heal an interrupted Compactor postings swap / dictionary fold
   Builder.recoverPostings(spark, dir)
+  Builder.recoverDictionary(spark, dir)
 
   val stats: Stats = Builder.loadStats(spark, dir)
 
   /** Vocabulary cap for driver-resident dictionary (~tens of MB at 1e6). */
   private val DictCap = 2000000L
 
-  private val dictCount: Long = spark.read.parquet(s"$dir/dictionary").count()
+  /** Streamed delta segments present? Fixed per handle life: ingest
+    * invalidates the handle, so a fresh open re-checks. */
+  private val hasDictDeltas: Boolean =
+    graft.util.Fs.exists(spark, s"$dir/dict_deltas")
 
-  /** Full dictionary map if it fits, else None -> pruned probes. */
+  private val dictCount: Long = Builder.dictionary(spark, dir).count()
+
+  /** Full dictionary map (merged base + deltas) if it fits, else None ->
+    * pruned probes. */
   val dictInMemory: Option[Map[String, Long]] =
     if (dictCount <= DictCap) {
       import spark.implicits._
-      Some(spark.read.parquet(s"$dir/dictionary")
+      Some(Builder.dictionary(spark, dir)
         .select("term", "df").as[(String, Long)].collect().toMap)
     } else None
 
@@ -138,17 +145,26 @@ class IndexHandle private (
     }.toMap
   }
 
-  /** df per term for the given terms (absent term = absent key). */
+  /** df per term for the given terms (absent term = absent key). The
+    * non-resident path probes the base dictionary AND any delta segments
+    * with full bucket + term pushdown on each scan, then sums per term —
+    * merge-on-read without losing the pruned parquet probe. */
   def dfOf(terms: Seq[String]): Map[String, Long] = dictInMemory match {
     case Some(m) => terms.flatMap(t => m.get(t).map(t -> _)).toMap
     case None =>
       import spark.implicits._
       if (terms.isEmpty) Map.empty
-      else spark.read.parquet(s"$dir/dictionary")
-        .filter(col("bucket").isin(
-          terms.map(t => graft.util.Hashing.bucketOf(t, nBuckets)).distinct: _*)
-          && col("term").isin(terms: _*))
-        .select("term", "df").as[(String, Long)].collect().toMap
+      else {
+        def probe(path: String): Seq[(String, Long)] =
+          spark.read.parquet(path)
+            .filter(col("bucket").isin(
+              terms.map(t => graft.util.Hashing.bucketOf(t, nBuckets)).distinct: _*)
+              && col("term").isin(terms: _*))
+            .select("term", "df").as[(String, Long)].collect().toSeq
+        val rows = probe(s"$dir/dictionary") ++
+          (if (hasDictDeltas) probe(s"$dir/dict_deltas") else Nil)
+        rows.groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).sum }
+      }
   }
 
   /** Blocks restricted to the given terms. Resident: a filter over the

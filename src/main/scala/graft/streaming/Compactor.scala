@@ -20,6 +20,27 @@ import graft.util.Fs
   */
 object Compactor {
 
+  /** Fold streamed dict_deltas/ segments into the base dictionary, so
+    * merge-on-read cost resets to a single-table scan. Crash-safe: the
+    * folded table is fully written to `dictionary_compact` BEFORE any
+    * rename, then base -> dictionary_predelta (backup) -> promote ->
+    * drop deltas + backup; Builder.recoverDictionary heals every
+    * intermediate state (predelta present alongside dictionary = swap
+    * done, deltas must be dropped, never re-applied). */
+  def foldDictionary(spark: SparkSession, indexDir: String,
+                     nBuckets: Int, nPart: Int): Unit = {
+    Builder.recoverDictionary(spark, indexDir)
+    if (!Fs.exists(spark, s"$indexDir/dict_deltas")) return
+    Builder.dictionary(spark, indexDir)
+      .repartition(math.min(nPart, nBuckets), org.apache.spark.sql.functions.col("bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(s"$indexDir/dictionary_compact")
+    Fs.rename(spark, s"$indexDir/dictionary", s"$indexDir/dictionary_predelta")
+    Fs.rename(spark, s"$indexDir/dictionary_compact", s"$indexDir/dictionary")
+    Fs.delete(spark, s"$indexDir/dict_deltas")
+    Fs.delete(spark, s"$indexDir/dictionary_predelta")
+  }
+
   def compact(spark: SparkSession, indexDir: String,
               callerConf: Builder.Config = Builder.Config()): Unit = {
     Builder.recoverPostings(spark, indexDir) // heal a prior interrupted swap
@@ -33,6 +54,9 @@ object Compactor {
     val stats = Builder.loadStats(spark, indexDir)
     val nPart = if (conf.shufflePartitions > 0) conf.shufflePartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // fold dictionary deltas FIRST: encodeSegment's head-term (salting)
+    // probe below reads the base dictionary and must see full df values
+    foldDictionary(spark, indexDir, conf.nBuckets, nPart)
     val tmpDir = s"$indexDir/postings_compact"
     Fs.delete(spark, tmpDir)
 

@@ -21,13 +21,14 @@ import graft.util.Fs
   * upper-bounds scores for ANY avgdl, so stats drift across batches
   * cannot break pruning exactness.
   *
-  * Idempotency (r2 hardening): appends are staged then promoted with
+  * Idempotency: EVERY append (corpus_ids, docmeta, postings_raw,
+  * positions, trigrams, dict_deltas) is staged then promoted with
   * batch-prefixed filenames (Fs.promoteStaged deletes this batch's files
-  * before moving), the dictionary delta-merge is guarded by a per-batch
-  * marker with an undo log, and every step is re-runnable — a
-  * foreachBatch retry after ANY partial failure converges to the same
-  * state. Per-batch cost is O(batch) + O(vocabulary) (the dictionary
-  * merge reads the current dictionary, never the full postings_raw).
+  * before moving), and every step is re-runnable — a foreachBatch retry
+  * after ANY partial failure converges to the same state. Per-batch cost
+  * is O(batch): the dictionary is an append-only delta segment merged on
+  * read (Builder.dictionary) and folded by the Compactor, never a
+  * per-batch O(vocabulary) rewrite.
   *
   * The head-term result caches are invalidated on every ingest: stale
   * cached top-k must not shadow newly ingested documents.
@@ -51,7 +52,7 @@ object IncrementalIndexer {
     import spark.implicits._
     val marker = s"$indexDir/_COMMIT_stream_batch_$batchId"
     if (Fs.exists(spark, marker)) return
-    recoverDictionary(spark, indexDir)
+    Builder.recoverDictionary(spark, indexDir) // heal an interrupted fold
     if (batch.isEmpty) {
       Fs.write(spark, marker, "{}")
       return
@@ -124,7 +125,6 @@ object IncrementalIndexer {
     spark.read.parquet(s"$indexDir/docmeta")
       .agg(count(lit(1)).as("n_docs"), avg(col("dl").cast("double")).as("avgdl"))
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats")
-    val avgdl = Builder.loadStats(spark, indexDir).avgdl
 
     // delta postings -> staged raw append + one new block segment
     val raw = withIds.select(col("doc_id"), col("content"))
@@ -149,7 +149,7 @@ object IncrementalIndexer {
       .sortWithinPartitions("term", "doc_id")
       .select("term", "doc_id", "tf", "dl")
       .as[Posting]
-      .mapPartitions(Builder.encodeBlocks(_, avgdl, c.blockSize))
+      .mapPartitions(Builder.encodeBlocks(_, c.blockSize))
       .withColumn("bucket", Builder.bucketOf(col("term"), c.nBuckets))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$indexDir/postings/segment=s$batchId")
@@ -173,10 +173,20 @@ object IncrementalIndexer {
         s"$indexDir/trigrams", prefix)
     }
 
-    // dictionary delta-merge: O(batch + vocabulary), NOT O(postings_raw)
-    val delta = raw.groupBy("term")
+    // dictionary delta SEGMENT: an append-only (term, df, cf) parquet
+    // under dict_deltas/, merged on read (Builder.dictionary) and folded
+    // into the base by the Compactor. Per-batch cost is O(batch) — the
+    // r2 full-dictionary rewrite was O(vocabulary) per micro-batch, a
+    // guaranteed ingest bottleneck at a 1e8-term vocabulary. The staged
+    // batch-prefixed promote makes retries idempotent with no undo log.
+    raw.groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
-    applyDictDelta(spark, indexDir, delta, batchId, nPart, c.nBuckets)
+      .withColumn("bucket", Builder.bucketOf(col("term"), c.nBuckets))
+      .repartition(math.min(nPart, c.nBuckets), col("bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(s"$staging/dict_deltas")
+    Fs.promoteStaged(spark, s"$staging/dict_deltas",
+      s"$indexDir/dict_deltas", prefix)
 
     raw.unpersist()
     withIds.unpersist()
@@ -187,51 +197,4 @@ object IncrementalIndexer {
     IndexHandle.invalidate(spark, indexDir)
   }
 
-  /** Apply a (term, df, cf) delta to `indexDir/dictionary` exactly once
-    * per batch. Steps (each re-runnable):
-    *   1. skip if `_COMMIT_dict_b<id>` exists (already applied);
-    *   2. write old ∪ delta summed -> dictionary_new (overwrite);
-    *   3. rename dictionary -> dictionary_undo_b<id> (undo log);
-    *   4. rename dictionary_new -> dictionary;
-    *   5. write the marker; 6. drop the undo log.
-    * recoverDictionary() heals a crash between any two steps. */
-  private def applyDictDelta(spark: SparkSession, indexDir: String,
-      delta: DataFrame, batchId: Long, nPart: Int, nBuckets: Int): Unit = {
-    val dictMarker = s"$indexDir/_COMMIT_dict_b$batchId"
-    val dict = s"$indexDir/dictionary"
-    val undo = s"$indexDir/dictionary_undo_b$batchId"
-    if (Fs.exists(spark, dictMarker)) {
-      Fs.delete(spark, undo) // crash between steps 5 and 6: drop stale log
-      return
-    }
-    if (Fs.exists(spark, undo)) {
-      // previous attempt got past step 3: roll back to the pre-batch dict
-      Fs.delete(spark, dict)
-      Fs.rename(spark, undo, dict)
-      Fs.delete(spark, s"$indexDir/dictionary_new")
-    }
-    spark.read.parquet(dict)
-      .select("term", "df", "cf")
-      .unionByName(delta.select("term", "df", "cf"))
-      .groupBy("term")
-      .agg(sum("df").as("df"), sum("cf").as("cf"))
-      .withColumn("bucket", Builder.bucketOf(col("term"), nBuckets))
-      .repartition(math.min(nPart, nBuckets), col("bucket"))
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
-      .parquet(s"$indexDir/dictionary_new")
-    Fs.rename(spark, dict, undo)
-    Fs.rename(spark, s"$indexDir/dictionary_new", dict)
-    Fs.write(spark, dictMarker, "{}")
-    Fs.delete(spark, undo)
-  }
-
-  /** Heal a dictionary swap interrupted between applyDictDelta steps. */
-  private def recoverDictionary(spark: SparkSession, indexDir: String): Unit = {
-    val dict = s"$indexDir/dictionary"
-    if (Fs.exists(spark, dict)) return
-    val dictNew = s"$indexDir/dictionary_new"
-    if (Fs.exists(spark, dictNew)) { Fs.rename(spark, dictNew, dict); return }
-    Fs.list(spark, indexDir).find(_.getName.startsWith("dictionary_undo_b"))
-      .foreach(p => Fs.rename(spark, p.toString, dict))
-  }
 }

@@ -136,6 +136,37 @@ class IndexSpec extends SparkTestBase {
     assert(cached.nonEmpty)
   }
 
+  test("staged pair cache at maxPairTerms=256 is identical to live search") {
+    import spark.implicits._
+    import graft.query.{HeadCache, IndexHandle}
+    // small closed vocabulary so top-256 covers it all: the staging path
+    // (many bounded pair batches, appended) gets exercised without a
+    // quadratic blowup in test time
+    val vocab = 40
+    val docs = (0 until 120).map { i =>
+      val toks = (0 until 30).map(j => s"w${(i * 7 + j * 11) % vocab}")
+      graft.index.CodeDoc(f"r${i / 30}%02d", f"f$i%04d.c", "c0", "c",
+        toks.mkString(" "))
+    }
+    val d = tmpDir("pair-staged")
+    Builder.build(spark, docs.toDF(), d, Builder.Config(blockSize = 16,
+      nBuckets = 8, nSegments = 1, saltTarget = 100000))
+    HeadCache.buildPairs(spark, d, maxPairTerms = 256, k = 5, nBuckets = 8,
+      pairBatch = 100)
+    val h = IndexHandle.open(spark, d, 8)
+    val (pairMap, k2) = h.headCache2
+    assert(k2 == 5 && pairMap.size > 400) // most of the 780 pairs co-occur
+    pairMap.keys.take(5).foreach { case (a, b) =>
+      val rel = Searcher.searchTopKRelational(spark, d,
+          Seq(Query(1, s"$a $b")), 5, Searcher.And, 8)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      assert(pairMap((a, b)).map(s => (s.doc_id, s.score)) == rel,
+        s"pair ($a,$b)")
+    }
+    h.close()
+  }
+
   test("posting block ranges are disjoint and sorted per term (WAND invariant)") {
     import spark.implicits._
     val byTerm = spark.read.parquet(s"$indexDir/postings")

@@ -33,12 +33,10 @@ class StreamingSpec extends SparkTestBase {
     val fullDir = tmpDir("full-idx")
     Builder.build(spark, all.toDF(), fullDir, conf)
 
-    // id-independent invariants
+    // id-independent invariants (streamed dict = base + delta segments)
     assert(Builder.loadStats(spark, dir) == Builder.loadStats(spark, fullDir))
-    val dictA = spark.read.parquet(s"$dir/dictionary")
-      .select("term", "df", "cf")
-    val dictB = spark.read.parquet(s"$fullDir/dictionary")
-      .select("term", "df", "cf")
+    val dictA = Builder.dictionary(spark, dir).select("term", "df", "cf")
+    val dictB = Builder.dictionary(spark, fullDir).select("term", "df", "cf")
     assert(dictA.except(dictB).count() == 0 && dictB.except(dictA).count() == 0)
 
     // query results identical when compared by resolved (repo, path)
@@ -241,31 +239,74 @@ class StreamingSpec extends SparkTestBase {
     val b0 = (0L until 50L).map(i => Synth.doc(9L, i))
     val b1 = (50L until 90L).map(i => Synth.doc(9L, i))
     IncrementalIndexer.ingestBatch(spark, b0.toDF(), dir, conf, 0L) // bootstrap
-    // snapshot the pre-batch dictionary so we can rewind to a REACHABLE
-    // crash state: all appends + stats done, dictionary not yet merged,
-    // no commit markers (= crash right before applyDictDelta)
-    val snapDir = tmpDir("dict-snap")
-    spark.read.parquet(s"$dir/dictionary")
-      .write.mode("overwrite").partitionBy("bucket").parquet(snapDir)
     IncrementalIndexer.ingestBatch(spark, b1.toDF(), dir, conf, 1L)
+    // rewind to a REACHABLE crash state: raw/docmeta appends + stats done,
+    // the dict delta promote NOT done, no commit marker (= crash between
+    // the postings segment write and the dict_deltas promote)
     graft.util.Fs.delete(spark, s"$dir/_COMMIT_stream_batch_1")
-    graft.util.Fs.delete(spark, s"$dir/_COMMIT_dict_b1")
-    graft.util.Fs.delete(spark, s"$dir/dictionary")
-    graft.util.Fs.rename(spark, snapDir, s"$dir/dictionary")
+    graft.util.Fs.deletePrefixed(spark, s"$dir/dict_deltas", "b1_")
     graft.util.Fs.write(spark, s"$dir/_BASE_b1", "50") // pinned on attempt 1
-    // retry the whole batch — staged promotes + the pinned base + dict
-    // undo-log must make this converge, not double-append or shift ids
+    // retry the whole batch — staged batch-prefixed promotes + the pinned
+    // id base must make this converge, not double-append or shift ids
+    IncrementalIndexer.ingestBatch(spark, b1.toDF(), dir, conf, 1L)
+    // and a SECOND full retry (everything already promoted) is a no-op
+    // that still converges
+    graft.util.Fs.delete(spark, s"$dir/_COMMIT_stream_batch_1")
+    graft.util.Fs.write(spark, s"$dir/_BASE_b1", "50")
     IncrementalIndexer.ingestBatch(spark, b1.toDF(), dir, conf, 1L)
     val fullDir = tmpDir("stream-retry-full")
     Builder.build(spark, (b0 ++ b1).toDF(), fullDir, conf)
     assert(spark.read.parquet(s"$dir/docmeta").count() == 90)
     assert(spark.read.parquet(s"$dir/corpus_ids").count() == 90)
     assert(Builder.loadStats(spark, dir) == Builder.loadStats(spark, fullDir))
-    val dictA = spark.read.parquet(s"$dir/dictionary").select("term", "df", "cf")
-    val dictB = spark.read.parquet(s"$fullDir/dictionary").select("term", "df", "cf")
+    val dictA = Builder.dictionary(spark, dir).select("term", "df", "cf")
+    val dictB = Builder.dictionary(spark, fullDir).select("term", "df", "cf")
     assert(dictA.except(dictB).count() == 0 && dictB.except(dictA).count() == 0)
     // postings_raw did not double-append
     assert(spark.read.parquet(s"$dir/postings_raw").count() ==
       spark.read.parquet(s"$fullDir/postings_raw").count())
+  }
+
+  test("dictionary ingest is O(batch): base files untouched, deltas folded by compact") {
+    import spark.implicits._
+    val dir = tmpDir("stream-dict")
+    val conf = Builder.Config(blockSize = 16, nBuckets = 4, nSegments = 1,
+      saltTarget = 40)
+    IncrementalIndexer.ingestBatch(spark,
+      (0L until 40L).map(i => Synth.doc(3L, i)).toDF(), dir, conf, 0L)
+    def baseFiles(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/dictionary"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = baseFiles()
+    val novel = graft.index.CodeDoc("zr", "znew.txt", "c1", "x",
+      "zz_brand_new_term alpha")
+    IncrementalIndexer.ingestBatch(spark, Seq(novel).toDF(), dir, conf, 1L)
+    // the per-batch refresh wrote ONLY a delta segment — base unchanged,
+    // independent of vocabulary size
+    assert(baseFiles() == before)
+    assert(graft.util.Fs.exists(spark, s"$dir/dict_deltas"))
+    val merged = Builder.dictionary(spark, dir)
+      .filter(col("term") === "zz_brand_new_term")
+      .select("df").as[Long].collect()
+    assert(merged.toSeq == Seq(1L))
+    // searcher sees the merged view (new term is queryable)
+    val hits = Searcher.searchTopK(spark, dir,
+      Seq(Searcher.Query(1, "zz_brand_new_term")), 5).collect()
+    assert(hits.length == 1)
+    // compaction folds deltas into the base and drops them
+    graft.streaming.Compactor.compact(spark, dir, conf)
+    assert(!graft.util.Fs.exists(spark, s"$dir/dict_deltas"))
+    assert(Builder.dictionary(spark, dir)
+      .filter(col("term") === "zz_brand_new_term").count() == 1)
+    // interrupted fold states are recoverable: predelta alongside
+    // dictionary (= swap done, cleanup pending) must drop stale deltas
+    graft.util.Fs.write(spark, s"$dir/dict_deltas/stale", "x")
+    graft.util.Fs.write(spark, s"$dir/dictionary_predelta/stale", "x")
+    Builder.recoverDictionary(spark, dir)
+    assert(!graft.util.Fs.exists(spark, s"$dir/dict_deltas"))
+    assert(!graft.util.Fs.exists(spark, s"$dir/dictionary_predelta"))
   }
 }

@@ -13,7 +13,7 @@ class WandSpec extends AnyFunSuite with PropHelpers {
     val sorted = postings.sortBy(_._1).map { case (d, tf, dl) =>
       Posting(term, d, tf, dl)
     }
-    Builder.encodeBlocks(sorted.iterator, avgdl, blockSize).toArray
+    Builder.encodeBlocks(sorted.iterator, blockSize).toArray
   }
 
   private case class Corpus(terms: Map[String, Seq[(Long, Int, Int)]],
