@@ -19,6 +19,12 @@ import graft.query.Searcher
   * multi-minute episodes that can inflate any single run 2-4x; an
   * interleaved min-of-N keeps one clean run per leg in the same quiet
   * window, which is what a dedicated cluster would show throughout.
+  *
+  * Query legs (r3) get the same treatment: WAND/relational batches and
+  * per-query latency are min-of-reps with reps interleaved across legs,
+  * per-run arrays published in the JSON; plus the reference-protocol
+  * sweep (qps by term count and by substring pattern length over queries
+  * sampled from real documents, gin_run.sh:18-19).
   */
 object Bench {
 
@@ -201,16 +207,22 @@ object Bench {
           name -> secs
         }
 
-      // single-query top-k latency distribution (warm index, k=10)
-      val lat = (1 to 3).flatMap { _ =>
-        Gate.GateQueries.map { q =>
+      // single-query top-k latency: per-query MIN across interleaved reps
+      // (reps outer, queries inner, so a host-noise episode cannot sit on
+      // one query's every sample), percentiles over the per-query minima —
+      // the quiet-state latency distribution a dedicated cluster shows
+      val latReps = 5
+      val latSamples = Array.fill(Gate.GateQueries.length)(Double.MaxValue)
+      (1 to latReps).foreach { _ =>
+        Gate.GateQueries.zipWithIndex.foreach { case (q, qi) =>
           val (_, secs) = time {
             Searcher.searchTopK(spark, idxDir, Seq(q), 10,
               Searcher.And, nBuckets = Gate.gateConfig.nBuckets).collect()
           }
-          secs * 1000.0
+          latSamples(qi) = math.min(latSamples(qi), secs * 1000.0)
         }
-      }.sorted
+      }
+      val lat = latSamples.sorted.toSeq
       def pct(p: Double) =
         lat(math.min(lat.length - 1, (p * lat.length).toInt))
 
@@ -230,18 +242,67 @@ object Bench {
         val terms = (0 until n).map(j => toks((i * 7 + j * 13) % toks.length))
         Searcher.Query(i.toLong, terms.mkString(" "))
       }
+      // interleaved min-of-reps for BOTH batch legs (the r2 single-shot
+      // legs reported a 40x "regression" that was one noise episode);
+      // rel rep 1 is the COLD run — it pays the one-off per-term interval
+      // aggregation that the IndexHandle then caches
+      val qreps = 3
+      val wandRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val relRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
       Searcher.lastStats.clear()
-      val (_, wandSecs) = time {
-        // serving loop: one WAND evaluation per query (warm handle)
-        batchQueries.grouped(64).foreach { g =>
-          Searcher.searchTopKWand(spark, idxDir, g, 10).count()
+      (1 to qreps).foreach { _ =>
+        wandRuns += time {
+          batchQueries.grouped(64).foreach { g =>
+            Searcher.searchTopKWand(spark, idxDir, g, 10).count()
+          }
+        }._2
+        relRuns += time {
+          Searcher.searchTopKRelational(spark, idxDir, batchQueries, 10).count()
+        }._2
+      }
+      val wandQps = nBatch / wandRuns.min
+      val relQps = nBatch / relRuns.tail.min // warm (interval cache hit)
+      val relColdQps = nBatch / relRuns.head
+
+      // reference-protocol sweep: qps per query size over queries sampled
+      // from real documents (gin_run.sh benchmarks pattern lengths
+      // 16..4096 the same way) — term counts for the inverted-index path,
+      // raw substring lengths for the trigram path
+      val sweepReps = 2
+      val qpsByTerms: Seq[(Int, Double)] = Seq(1, 2, 4, 8).map { n =>
+        val qs = (0 until 128).map { i =>
+          val (_, text) = sample((i * 3 + n) % sample.length)
+          val toks = graft.index.Tokenizer.tokens(text)
+          val terms = (0 until n).map(j => toks((i * 7 + j * 13) % toks.length))
+          Searcher.Query(i.toLong, terms.mkString(" "))
         }
+        val runs = (1 to sweepReps).map { _ =>
+          time {
+            qs.grouped(64).foreach { g =>
+              Searcher.searchTopK(spark, idxDir, g, 10,
+                Searcher.And, nBuckets = Gate.gateConfig.nBuckets).count()
+            }
+          }._2
+        }
+        n -> qs.length / runs.min
       }
-      val (_, relSecs) = time {
-        Searcher.searchTopKRelational(spark, idxDir, batchQueries, 10).count()
+      val qpsBySubstr: Seq[(Int, Double)] = Seq(16, 64, 256).map { len =>
+        val pats = (0 until 32).flatMap { i =>
+          val (_, text) = sample((i * 5 + len) % sample.length)
+          if (text.length < len + 8) None
+          else {
+            val off = (i * 37) % (text.length - len)
+            Some(i.toLong -> text.substring(off, off + len))
+          }
+        }
+        val runs = (1 to sweepReps).map { _ =>
+          time {
+            graft.query.Substring.find(spark, idxDir, pats,
+              nBuckets = Gate.gateConfig.nBuckets).count()
+          }._2
+        }
+        len -> pats.length / runs.min
       }
-      val wandQps = nBatch / wandSecs
-      val relQps = nBatch / relSecs
       // WAND work counters on the sf corpus (31-term vocabulary: every
       // block overlaps every query, so this fraction stays ~1.0 — kept
       // for driver comparability)
@@ -276,14 +337,16 @@ object Bench {
         Searcher.Query(i.toLong, (loc +: extra).mkString(" "))
       }
       Searcher.lastStats.clear()
-      val (_, synthWandSecs) = time {
-        synthQueries.grouped(64).foreach { g =>
-          Searcher.searchTopKWand(spark, synthDir, g, 10, Searcher.And,
-            nBuckets = 16).count()
-        }
+      val synthRuns = (1 to sweepReps).map { _ =>
+        time {
+          synthQueries.grouped(64).foreach { g =>
+            Searcher.searchTopKWand(spark, synthDir, g, 10, Searcher.And,
+              nBuckets = 16).count()
+          }
+        }._2
       }
       val fracSynth = decodedFrac()
-      val synthQps = synthQueries.length / synthWandSecs
+      val synthQps = synthQueries.length / synthRuns.min
 
       // compression: payload bytes per posting vs a 12-byte raw row
       val (payloadBytes, nPostings) = spark.read.parquet(s"$idxDir/postings")
@@ -293,16 +356,18 @@ object Bench {
           sum($"num_docs").cast("long"))
         .as[(Double, Long)].head()
 
-      (buildGateSecs, nGateDocs, queryTimes, pct(0.5), pct(0.95),
-        payloadBytes / nPostings, wandQps, relQps, fracSf, nBatch,
-        fracSynth, synthQps)
+      GateResult(buildGateSecs, nGateDocs, queryTimes, pct(0.5), pct(0.95),
+        payloadBytes / nPostings, wandQps, relQps, relColdQps,
+        wandRuns.toSeq, relRuns.toSeq, nBatch, fracSf, fracSynth, synthQps,
+        qpsByTerms, qpsBySubstr)
     }
-    val (buildGateSecs, nGateDocs, queryTimes, p50, p95, bpp,
-      wandQps, relQps, fracSf, nBatch, fracSynth, synthQps) = result
+    import result._
 
     val qJson = queryTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
       .mkString("{", ",", "}")
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+    def qpsMap(xs: Seq[(Int, Double)]) =
+      xs.map { case (k, v) => s""""$k":${f"$v%.1f"}""" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
@@ -320,9 +385,23 @@ object Bench {
       s""""batch_queries":$nBatch,""" +
       s""""wand_queries_per_sec":${f"$wandQps%.1f"},""" +
       s""""relational_batch_queries_per_sec":${f"$relQps%.1f"},""" +
+      s""""relational_cold_queries_per_sec":${f"$relColdQps%.1f"},""" +
+      s""""wand_runs_sec":${arr(wandRuns)},""" +
+      s""""rel_runs_sec":${arr(relRuns)},""" +
+      s""""qps_by_terms":${qpsMap(qpsByTerms)},""" +
+      s""""qps_by_substr_len":${qpsMap(qpsBySubstr)},""" +
       s""""wand_blocks_decoded_frac":${f"$fracSf%.3f"},""" +
       s""""wand_blocks_decoded_frac_synth":${f"$fracSynth%.3f"},""" +
       s""""synth_wand_queries_per_sec":${f"$synthQps%.1f"},""" +
       s""""bytes_per_posting":${f"$bpp%.3f"},"raw_bytes_per_posting":12}""")
   }
+
+  /** Gate-session measurements bundled for the JSON emitter. */
+  private case class GateResult(
+      buildGateSecs: Double, nGateDocs: Long,
+      queryTimes: Seq[(String, Double)], p50: Double, p95: Double,
+      bpp: Double, wandQps: Double, relQps: Double, relColdQps: Double,
+      wandRuns: Seq[Double], relRuns: Seq[Double], nBatch: Int,
+      fracSf: Double, fracSynth: Double, synthQps: Double,
+      qpsByTerms: Seq[(Int, Double)], qpsBySubstr: Seq[(Int, Double)])
 }
