@@ -187,9 +187,13 @@ object Bench {
     // ---- main session: gate queries on sfDir + latency + compression --
     val result = withSession(cpus, shufflePartitions = cpus) { spark =>
       val idxDir = freshDir("gate")
+      // per-stage wall times via the build's stageLog hook (the north
+      // rule's per-stage throughput metrics, published in the JSON)
+      val stageSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val (_, buildGateSecs) = time {
         Builder.build(spark, Corpus.fromDocuments(spark, sfDir), idxDir,
-          Gate.gateConfig.copy(shufflePartitions = cpus))
+          Gate.gateConfig.copy(shufflePartitions = cpus),
+          (st, s) => stageSecs(st) = s)
       }
       val nGateDocs = Builder.loadStats(spark, idxDir).n_docs
 
@@ -359,7 +363,7 @@ object Bench {
       GateResult(buildGateSecs, nGateDocs, queryTimes, pct(0.5), pct(0.95),
         payloadBytes / nPostings, wandQps, relQps, relColdQps,
         wandRuns.toSeq, relRuns.toSeq, nBatch, fracSf, fracSynth, synthQps,
-        qpsByTerms, qpsBySubstr)
+        qpsByTerms, qpsBySubstr, stageSecs.toSeq)
     }
     import result._
 
@@ -380,6 +384,8 @@ object Bench {
       s""""scaling_runs_hi":${arr(runsHi)},""" +
       s""""bench_docs":$benchDocs,""" +
       s""""gate_build_secs":${f"$buildGateSecs%.3f"},""" +
+      s""""gate_stage_secs":${stageSecs.map { case (k, v) =>
+        s""""$k":${f"$v%.2f"}""" }.mkString("{", ",", "}")},""" +
       s""""gate_docs":$nGateDocs,""" +
       s""""query_p50_ms":${f"$p50%.1f"},"query_p95_ms":${f"$p95%.1f"},""" +
       s""""batch_queries":$nBatch,""" +
@@ -403,5 +409,6 @@ object Bench {
       bpp: Double, wandQps: Double, relQps: Double, relColdQps: Double,
       wandRuns: Seq[Double], relRuns: Seq[Double], nBatch: Int,
       fracSf: Double, fracSynth: Double, synthQps: Double,
-      qpsByTerms: Seq[(Int, Double)], qpsBySubstr: Seq[(Int, Double)])
+      qpsByTerms: Seq[(Int, Double)], qpsBySubstr: Seq[(Int, Double)],
+      stageSecs: Seq[(String, Double)])
 }

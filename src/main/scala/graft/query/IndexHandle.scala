@@ -122,9 +122,15 @@ class IndexHandle private (
   private val intervalCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long)]]()
 
+  /** Cache entries are <= MaxIvPerTerm * 16 B each; at the cap the cache
+    * is simply cleared (recompute is cheap and correct) so an adversarial
+    * stream of distinct terms cannot grow driver memory unboundedly. */
+  private val MaxCachedTerms = 65536
+
   /** Merged intervals for `terms`; absent/empty terms are omitted. */
   def intervalsFor(terms: Seq[String]): Map[String, Array[(Long, Long)]] = {
     import spark.implicits._
+    if (intervalCache.size > MaxCachedTerms) intervalCache.clear()
     val missing = terms.distinct.filterNot(intervalCache.containsKey)
     if (missing.nonEmpty) {
       val ivAgg = new IntervalAgg(Searcher.MaxIvPerTerm)
@@ -145,6 +151,13 @@ class IndexHandle private (
     }.toMap
   }
 
+  /** Probe results for the non-resident dictionary path, cached like the
+    * interval cache (absent terms store -1 so they never re-probe; the
+    * handle is dropped on ingest, so staleness cannot outlive the index
+    * state it was read from). */
+  private val dfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** df per term for the given terms (absent term = absent key). The
     * non-resident path probes the base dictionary AND any delta segments
     * with full bucket + term pushdown on each scan, then sums per term —
@@ -153,18 +166,28 @@ class IndexHandle private (
     case Some(m) => terms.flatMap(t => m.get(t).map(t -> _)).toMap
     case None =>
       import spark.implicits._
-      if (terms.isEmpty) Map.empty
-      else {
+      if (terms.isEmpty) return Map.empty
+      if (dfCache.size > MaxCachedTerms) dfCache.clear()
+      val missing = terms.distinct.filterNot(dfCache.containsKey)
+      if (missing.nonEmpty) {
         def probe(path: String): Seq[(String, Long)] =
           spark.read.parquet(path)
             .filter(col("bucket").isin(
-              terms.map(t => graft.util.Hashing.bucketOf(t, nBuckets)).distinct: _*)
-              && col("term").isin(terms: _*))
+              missing.map(t => graft.util.Hashing.bucketOf(t, nBuckets)).distinct: _*)
+              && col("term").isin(missing: _*))
             .select("term", "df").as[(String, Long)].collect().toSeq
         val rows = probe(s"$dir/dictionary") ++
           (if (hasDictDeltas) probe(s"$dir/dict_deltas") else Nil)
-        rows.groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).sum }
+        rows.groupBy(_._1).foreach { case (t, rs) =>
+          dfCache.put(t, rs.map(_._2).sum)
+        }
+        missing.filterNot(dfCache.containsKey)
+          .foreach(t => dfCache.put(t, -1L))
       }
+      terms.flatMap { t =>
+        val v = dfCache.get(t)
+        if (v == null || v < 0) None else Some(t -> v.longValue)
+      }.toMap
   }
 
   /** Blocks restricted to the given terms. Resident: a filter over the

@@ -33,6 +33,9 @@ import org.apache.spark.sql.expressions.Window
   */
 object Substring {
 
+  /** Max distinct trigrams probed per pattern (see viaIndex). */
+  val MaxGramsPerQuery = 16
+
   /** Returns (query_id, doc_id, n_matches, first_offset). */
   def find(spark: SparkSession, indexDir: String,
            queries: Seq[(Long, String)], nBuckets: Int = 32,
@@ -57,7 +60,19 @@ object Substring {
 
     val viaIndex: Option[DataFrame] = if (indexed.isEmpty) None else {
       val qg = indexed.flatMap { case (qid, pat) =>
-        val grams = pat.sliding(3).toSeq.distinct
+        val all = pat.sliding(3).toSeq.distinct
+        // long patterns: probing EVERY gram scans index rows proportional
+        // to pattern length for no extra pruning — any SUBSET of the
+        // AND-conditions is still exact (superset of candidates, the
+        // contains-verify stays the filter of record), so cap the probe
+        // at MaxGramsPerQuery evenly spaced grams (the Google Code
+        // Search / pg_trgm query-planning trick)
+        val grams =
+          if (all.size <= MaxGramsPerQuery) all
+          else {
+            val step = all.size.toDouble / MaxGramsPerQuery
+            (0 until MaxGramsPerQuery).map(i => all((i * step).toInt)).distinct
+          }
         grams.map(g => (qid, g, grams.size))
       }
       val grams = qg.map(_._2).distinct

@@ -84,6 +84,23 @@ class SubstringSpec extends SparkTestBase {
     assert(right.nonEmpty && wrongParam == right)
   }
 
+  test("long patterns (gram probe capped) stay exact vs brute force") {
+    import spark.implicits._
+    val sample = Synth.doc(5L, 42L).content
+    // > MaxGramsPerQuery*3 chars so the evenly-spaced gram subset kicks in
+    val pat = sample.substring(5, 5 + 80)
+    assert(pat.sliding(3).toSeq.distinct.size > Substring.MaxGramsPerQuery)
+    val got = Substring.find(spark, indexDir, Seq(1L -> pat), nBuckets = 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val withIds = Builder.withDocIds(corpus)
+      .select($"doc_id", $"content").as[(Long, String)].collect()
+    val want = (for {
+      (docId, content) <- withIds if content.contains(pat)
+    } yield (1L, docId, countOcc(content, pat),
+        (content.indexOf(pat) + 1).toLong)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("trigram candidates prune the verify scan (index actually narrows)") {
     import spark.implicits._
     // a pattern whose trigrams are rare: candidates must be far fewer
