@@ -312,6 +312,22 @@ object Bench {
       val wandQps = nBatch / wandRuns.min
       val relQps = nBatch / relRuns.tail.min // warm (interval cache hit)
       val relColdQps = nBatch / relRuns.head
+
+      // decode throughput — the reference's `Decode: Matches decoded per
+      // second` (gin.c:1136): every conjunctive match of a 64-query batch
+      // resolved to its (repo, path, commit) identity
+      val decQueries = batchQueries.take(64)
+      var decodedMatches = 0L
+      val decRuns = (1 to sweepReps).map { _ =>
+        time {
+          decodedMatches = Searcher.searchCandidates(spark, idxDir,
+              decQueries, Gate.gateConfig.nBuckets)
+            .join(graft.query.IndexHandle.open(spark, idxDir,
+              Gate.gateConfig.nBuckets).docmeta, Seq("doc_id"))
+            .count()
+        }._2
+      }
+      val decodePerSec = decodedMatches / decRuns.min
       // WAND work counters on the sf corpus (31-term vocabulary: every
       // block overlaps every query, so this fraction stays ~1.0 — kept
       // for driver comparability)
@@ -368,7 +384,8 @@ object Bench {
       GateResult(buildGateSecs, nGateDocs, queryTimes, pct(0.5), pct(0.95),
         payloadBytes / nPostings, wandQps, relQps, relColdQps,
         wandRuns.toSeq, relRuns.toSeq, nBatch, fracSf, fracSynth, synthQps,
-        qpsByTerms, qpsBySubstr, stageSecs.toSeq)
+        qpsByTerms, qpsBySubstr, stageSecs.toSeq, decodePerSec,
+        decodedMatches)
     }
     import result._
 
@@ -401,6 +418,8 @@ object Bench {
       s""""rel_runs_sec":${arr(relRuns)},""" +
       s""""qps_by_terms":${qpsMap(qpsByTerms)},""" +
       s""""qps_by_substr_len":${qpsMap(qpsBySubstr)},""" +
+      s""""matches_decoded_per_sec":${f"$decodePerSec%.1f"},""" +
+      s""""decoded_matches":$decodedMatches,""" +
       s""""wand_blocks_decoded_frac":${f"$fracSf%.3f"},""" +
       s""""wand_blocks_decoded_frac_synth":${f"$fracSynth%.3f"},""" +
       s""""synth_wand_queries_per_sec":${f"$synthQps%.1f"},""" +
@@ -415,5 +434,6 @@ object Bench {
       wandRuns: Seq[Double], relRuns: Seq[Double], nBatch: Int,
       fracSf: Double, fracSynth: Double, synthQps: Double,
       qpsByTerms: Seq[(Int, Double)], qpsBySubstr: Seq[(Int, Double)],
-      stageSecs: Seq[(String, Double)])
+      stageSecs: Seq[(String, Double)], decodePerSec: Double,
+      decodedMatches: Long)
 }

@@ -21,7 +21,7 @@ import graft.query.{HeadCache, Phrase, Searcher, Substring}
   * spark-submit --class graft.Cli app.jar count|phrase|substring \
   *   --index /idx --queries q.txt [--out /results]
   * spark-submit --class graft.Cli app.jar cache \
-  *   --index /idx --min-df 1000 --k 10 [--pair-terms 64]
+  *   --index /idx --min-df 1000 --k 10 [--pair-terms 64] [--triple-terms 24]
   * spark-submit --class graft.Cli app.jar compact --index /idx
   * }}}
   *
@@ -106,6 +106,8 @@ object Cli {
         HeadCache.build(spark, index, o.getOrElse("min-df", "1000").toLong, k)
         o.get("pair-terms").foreach(n =>
           HeadCache.buildPairs(spark, index, n.toInt, k, nBuckets))
+        o.get("triple-terms").foreach(n =>
+          HeadCache.buildTriples(spark, index, n.toInt, k, nBuckets))
         None
       case "compact" =>
         graft.streaming.Compactor.compact(spark, index, conf)

@@ -26,10 +26,15 @@ import graft.util.Fs
   * the SAME Bm25 helpers the WAND loop uses, so cached results are
   * bit-identical to a live search.
   *
+  * Depth 3: the top-K conjunctive results of every TRIPLE of the
+  * `maxTripleTerms` most frequent terms (buildTriples) — the practical
+  * depth limit for a term vocabulary (entry count is C(n, depth)).
+  *
   * Layout: `indexDir/head_cache/` (term, rank, doc_id, score),
-  * `indexDir/head_cache2/` (term_a, term_b, rank, doc_id, score), with
-  * `_COMMIT_head_cache` / `_COMMIT_head_cache2` markers carrying (minDf,
-  * k) / (n, k).
+  * `indexDir/head_cache2/` (term_a, term_b, rank, doc_id, score),
+  * `indexDir/head_cache3/` (term_a, term_b, term_c, rank, doc_id,
+  * score), with `_COMMIT_head_cache{,2,3}` markers carrying (minDf, k)
+  * / (n, k).
   */
 object HeadCache {
 
@@ -124,6 +129,51 @@ object HeadCache {
     IndexHandle.invalidate(spark, indexDir)
   }
 
+  /** Precompute depth-3 top-k for every unordered triple of the
+    * `maxTripleTerms` highest-df terms — the reference recommends cache
+    * depth 10-12 over its small alphabet (README.md:250-251); over a
+    * term vocabulary the expensive frequent "prefixes" are 2- and 3-term
+    * head combinations, so depth stops where entry count stays bounded
+    * (C(n,3) at n=24 is 2,024). Staged in bounded query batches like
+    * buildPairs. */
+  def buildTriples(spark: SparkSession, indexDir: String,
+                   maxTripleTerms: Int, k: Int, nBuckets: Int = 32,
+                   tripleBatch: Int = 1024): Unit = {
+    import spark.implicits._
+    val top: Seq[String] = Builder.dictionary(spark, indexDir)
+      .orderBy(col("df").desc, col("term"))
+      .select("term").as[String].take(maxTripleTerms).toSeq.sorted
+    val triples: Seq[(String, String, String)] = for {
+      i <- top.indices; j <- (i + 1) until top.length
+      l <- (j + 1) until top.length
+    } yield (top(i), top(j), top(l))
+    Fs.delete(spark, s"$indexDir/head_cache3")
+    if (triples.isEmpty) {
+      Seq.empty[(String, String, String, Int, Long, Double)]
+        .toDF("term_a", "term_b", "term_c", "rank", "doc_id", "score")
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/head_cache3")
+    } else triples.zipWithIndex.grouped(tripleBatch).foreach { batch =>
+      val queries = batch.map { case ((a, b, c), i) =>
+        Searcher.Query(i.toLong, s"$a $b $c")
+      }
+      val byId = batch.map { case (t, i) => i.toLong -> t }.toMap
+      val byIdB = spark.sparkContext.broadcast(byId)
+      Searcher.searchTopKRelational(spark, indexDir, queries, k,
+          Searcher.And, nBuckets)
+        .as[(Long, Int, Long, Double)]
+        .map { case (qid, rank, doc, score) =>
+          val (a, b, c) = byIdB.value(qid)
+          (a, b, c, rank, doc, score)
+        }
+        .toDF("term_a", "term_b", "term_c", "rank", "doc_id", "score")
+        .coalesce(4)
+        .write.mode(SaveMode.Append).parquet(s"$indexDir/head_cache3")
+    }
+    Fs.write(spark, s"$indexDir/_COMMIT_head_cache3",
+      s"""{"n":$maxTripleTerms,"k":$k}""")
+    IndexHandle.invalidate(spark, indexDir)
+  }
+
   /** Depth-1 entries loaded by an IndexHandle (term -> ranked hits). */
   def load(spark: SparkSession, indexDir: String): (Map[String, Seq[Scored]], Int) = {
     import spark.implicits._
@@ -158,12 +208,31 @@ object HeadCache {
     (m, k)
   }
 
-  /** Drop both cache levels (incremental ingest invalidation: stale
+  /** Depth-3 entries ((a, b, c) sorted -> ranked hits). */
+  def loadTriples(spark: SparkSession, indexDir: String): (Map[(String, String, String), Seq[Scored]], Int) = {
+    import spark.implicits._
+    val marker = s"$indexDir/_COMMIT_head_cache3"
+    if (!Fs.exists(spark, marker)) return (Map.empty, 0)
+    val meta = Fs.read(spark, marker)
+    val k = """"k":(\d+)""".r.findFirstMatchIn(meta).map(_.group(1).toInt).getOrElse(0)
+    val m = spark.read.parquet(s"$indexDir/head_cache3")
+      .select("term_a", "term_b", "term_c", "rank", "doc_id", "score")
+      .as[(String, String, String, Int, Long, Double)].collect()
+      .groupBy(r => (r._1, r._2, r._3))
+      .map { case (t, rs) =>
+        t -> rs.sortBy(_._4).map(r => Scored(r._5, r._6)).toSeq
+      }
+    (m, k)
+  }
+
+  /** Drop all cache levels (incremental ingest invalidation: stale
     * cached results must not shadow newly ingested documents). */
   def invalidate(spark: SparkSession, indexDir: String): Unit = {
     Fs.delete(spark, s"$indexDir/_COMMIT_head_cache")
     Fs.delete(spark, s"$indexDir/head_cache")
     Fs.delete(spark, s"$indexDir/_COMMIT_head_cache2")
     Fs.delete(spark, s"$indexDir/head_cache2")
+    Fs.delete(spark, s"$indexDir/_COMMIT_head_cache3")
+    Fs.delete(spark, s"$indexDir/head_cache3")
   }
 }

@@ -112,6 +112,11 @@ class IndexHandle private (
   lazy val headCache2: (Map[(String, String), Seq[Scored]], Int) =
     HeadCache.loadPairs(spark, dir)
 
+  /** Head-triple (depth-3) result cache (present only if
+    * HeadCache.buildTriples ran). */
+  lazy val headCache3: (Map[(String, String, String), Seq[Scored]], Int) =
+    HeadCache.loadTriples(spark, dir)
+
   /** Per-term merged block [doc_id_base, doc_id_max] intervals (coarsened
     * to <= Searcher.MaxIvPerTerm by IntervalAgg), cached on the handle:
     * block metadata is index-static until ingest invalidates the handle,

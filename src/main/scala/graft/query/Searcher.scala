@@ -101,12 +101,16 @@ object Searcher {
     // touching postings
     val (cacheMap, cacheK) = handle.headCache
     val (cache2Map, cacheK2) = handle.headCache2
+    val (cache3Map, cacheK3) = handle.headCache3
     def cachedFor(ts: Seq[String]): Option[Seq[Scored]] = {
       val present = ts.filter(dict.contains)
       if (present.size == 1 && k <= cacheK) cacheMap.get(present.head)
       else if (present.size == 2 && mode == And && k <= cacheK2) {
         val (a, b) = (present(0), present(1))
         cache2Map.get(if (a < b) (a, b) else (b, a))
+      } else if (present.size == 3 && mode == And && k <= cacheK3) {
+        val Seq(a, b, c) = present.sorted
+        cache3Map.get((a, b, c))
       } else None
     }
     val (cachedQs, liveQs) = live.partition { case (_, ts) =>

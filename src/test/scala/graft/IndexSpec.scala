@@ -136,6 +136,25 @@ class IndexSpec extends SparkTestBase {
     assert(cached.nonEmpty)
   }
 
+  test("head triple cache (depth 3): cached 3-term AND identical to live search") {
+    import graft.query.{HeadCache, IndexHandle}
+    HeadCache.buildTriples(spark, indexDir, maxTripleTerms = 6, k = 10,
+      nBuckets = 8)
+    val handle = IndexHandle.open(spark, indexDir, 8)
+    val (tripleMap, k3) = handle.headCache3
+    assert(tripleMap.nonEmpty && k3 == 10)
+    assert(tripleMap.contains(("id_0", "id_1", "id_2")))
+    val qs = Seq(Query(1, "id_0 id_1 id_2"), Query(2, "id_2 id_0 id_1"),
+      Query(3, "id_1 id_3 id_0"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val cached = rows(Searcher.searchTopKWand(spark, indexDir, qs, 10, Searcher.And, 8))
+    val rel = rows(Searcher.searchTopKRelational(spark, indexDir, qs, 10, Searcher.And, 8))
+    assert(cached == rel)
+    assert(cached.nonEmpty)
+  }
+
   test("staged pair cache at maxPairTerms=256 is identical to live search") {
     import spark.implicits._
     import graft.query.{HeadCache, IndexHandle}
