@@ -330,7 +330,9 @@ object Bench {
       val decodePerSec = decodedMatches / decRuns.min
       // WAND work counters on the sf corpus (31-term vocabulary: every
       // block overlaps every query, so this fraction stays ~1.0 — kept
-      // for driver comparability)
+      // for driver comparability). Measured over an ISOLATED wand batch:
+      // lastStats is keyed by query_id and the sweep/latency legs above
+      // would otherwise collide with and overwrite the batch entries.
       def decodedFrac(): Double = {
         val statsList = scala.jdk.CollectionConverters
           .CollectionHasAsScala(Searcher.lastStats.values()).asScala.toSeq
@@ -338,6 +340,12 @@ object Bench {
         else statsList.map(_.blocksDecoded).sum.toDouble /
           math.max(1L, statsList.map(_.blocksTotal.toLong).sum)
       }
+      Searcher.lastStats.clear()
+      wandRuns += time {
+        batchQueries.grouped(64).foreach { g =>
+          Searcher.searchTopKWand(spark, idxDir, g, 10).count()
+        }
+      }._2 // a 5th wand sample, and the stats window fracSf reads
       val fracSf = decodedFrac()
 
       // block-max WAND leg on a code-realistic corpus (2,000-term global

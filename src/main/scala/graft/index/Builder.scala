@@ -67,13 +67,16 @@ object Builder {
     * boundaries, never the order), so resumed builds stay byte-identical
     * — the deterministic-permutation analog
     * (/root/reference/src/gin_gin.c:103-112). */
-  def withDocIds(corpus: DataFrame): DataFrame = {
+  def withDocIds(corpus: DataFrame, partitions: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    // explicit partition count: user-specified widths are exempt from AQE
-    // coalescing, which would otherwise pack the whole (pre-explode-small)
-    // corpus into few tasks and serialize the sha/tokenize pass downstream
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // explicit partition count (caller's Config.shufflePartitions when
+    // set, else the session value): user-specified widths are exempt from
+    // AQE coalescing, which would otherwise pack the whole
+    // (pre-explode-small) corpus into few tasks and serialize the
+    // sha/tokenize pass downstream
+    val nPart = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val sorted = corpus
       .repartitionByRange(nPart, col("repo"), col("path"), col("commit"))
       .sortWithinPartitions("repo", "path", "commit")
@@ -193,9 +196,9 @@ object Builder {
     // recomputation) and pins id determinism even if the source moves.
     if (!committed(spark, outDir, "_COMMIT_corpus_ids")) timed("corpus_ids") {
       // no repartition here: withDocIds' range shuffle already leaves
-      // ~shuffle.partitions row-balanced partitions (the r2 per-repo
-      // window needed a width-restoring shuffle; this saves it)
-      withDocIds(corpus)
+      // nPart row-balanced partitions (the r2 per-repo window needed a
+      // width-restoring shuffle; this saves it)
+      withDocIds(corpus, nPart)
         .select("doc_id", "repo", "path", "commit", "lang", "content")
         .as[(Long, String, String, String, String, String)]
         .mapPartitions { it =>
@@ -561,6 +564,15 @@ object Builder {
         Fs.delete(spark, s"$indexDir/dict_deltas")
         Fs.delete(spark, pre)
       } else if (Fs.exists(spark, pre)) Fs.rename(spark, pre, dict)
+      else {
+        // legacy (pre-delta-segment) crash states: a half-promoted
+        // dictionary_new, or an undo log holding the pre-batch dictionary
+        val legacyNew = s"$indexDir/dictionary_new"
+        if (Fs.exists(spark, legacyNew)) Fs.rename(spark, legacyNew, dict)
+        else Fs.list(spark, indexDir)
+          .find(_.getName.startsWith("dictionary_undo_b"))
+          .foreach(p => Fs.rename(spark, p.toString, dict))
+      }
     } else if (Fs.exists(spark, pre)) {
       Fs.delete(spark, s"$indexDir/dict_deltas")
       Fs.delete(spark, pre)

@@ -102,7 +102,11 @@ object HeadCache {
     val pairs: Seq[(String, String)] = for {
       i <- top.indices; j <- (i + 1) until top.length
     } yield if (top(i) < top(j)) (top(i), top(j)) else (top(j), top(i))
-    Fs.delete(spark, s"$indexDir/head_cache2") // appends below: clean slate
+    // marker FIRST: a crash mid-rebuild must leave NO valid-looking
+    // marker over a missing or partial cache (readers would throw or
+    // silently serve truncated top-k)
+    Fs.delete(spark, s"$indexDir/_COMMIT_head_cache2")
+    Fs.delete(spark, s"$indexDir/head_cache2")
     if (pairs.isEmpty) {
       Seq.empty[(String, String, Int, Long, Double)]
         .toDF("term_a", "term_b", "rank", "doc_id", "score")
@@ -123,6 +127,7 @@ object HeadCache {
         .toDF("term_a", "term_b", "rank", "doc_id", "score")
         .coalesce(4)
         .write.mode(SaveMode.Append).parquet(s"$indexDir/head_cache2")
+      byIdB.destroy() // one broadcast per batch: release, don't accumulate
     }
     Fs.write(spark, s"$indexDir/_COMMIT_head_cache2",
       s"""{"n":$maxPairTerms,"k":$k}""")
@@ -147,6 +152,7 @@ object HeadCache {
       i <- top.indices; j <- (i + 1) until top.length
       l <- (j + 1) until top.length
     } yield (top(i), top(j), top(l))
+    Fs.delete(spark, s"$indexDir/_COMMIT_head_cache3") // marker first
     Fs.delete(spark, s"$indexDir/head_cache3")
     if (triples.isEmpty) {
       Seq.empty[(String, String, String, Int, Long, Double)]
@@ -168,6 +174,7 @@ object HeadCache {
         .toDF("term_a", "term_b", "term_c", "rank", "doc_id", "score")
         .coalesce(4)
         .write.mode(SaveMode.Append).parquet(s"$indexDir/head_cache3")
+      byIdB.destroy()
     }
     Fs.write(spark, s"$indexDir/_COMMIT_head_cache3",
       s"""{"n":$maxTripleTerms,"k":$k}""")
@@ -178,7 +185,8 @@ object HeadCache {
   def load(spark: SparkSession, indexDir: String): (Map[String, Seq[Scored]], Int) = {
     import spark.implicits._
     val marker = s"$indexDir/_COMMIT_head_cache"
-    if (!Fs.exists(spark, marker)) return (Map.empty, 0)
+    if (!Fs.exists(spark, marker) ||
+        !Fs.exists(spark, s"$indexDir/head_cache")) return (Map.empty, 0)
     val meta = Fs.read(spark, marker)
     val k = """"k":(\d+)""".r.findFirstMatchIn(meta).map(_.group(1).toInt).getOrElse(0)
     val m = spark.read.parquet(s"$indexDir/head_cache")
@@ -195,7 +203,8 @@ object HeadCache {
   def loadPairs(spark: SparkSession, indexDir: String): (Map[(String, String), Seq[Scored]], Int) = {
     import spark.implicits._
     val marker = s"$indexDir/_COMMIT_head_cache2"
-    if (!Fs.exists(spark, marker)) return (Map.empty, 0)
+    if (!Fs.exists(spark, marker) ||
+        !Fs.exists(spark, s"$indexDir/head_cache2")) return (Map.empty, 0)
     val meta = Fs.read(spark, marker)
     val k = """"k":(\d+)""".r.findFirstMatchIn(meta).map(_.group(1).toInt).getOrElse(0)
     val m = spark.read.parquet(s"$indexDir/head_cache2")
@@ -212,7 +221,8 @@ object HeadCache {
   def loadTriples(spark: SparkSession, indexDir: String): (Map[(String, String, String), Seq[Scored]], Int) = {
     import spark.implicits._
     val marker = s"$indexDir/_COMMIT_head_cache3"
-    if (!Fs.exists(spark, marker)) return (Map.empty, 0)
+    if (!Fs.exists(spark, marker) ||
+        !Fs.exists(spark, s"$indexDir/head_cache3")) return (Map.empty, 0)
     val meta = Fs.read(spark, marker)
     val k = """"k":(\d+)""".r.findFirstMatchIn(meta).map(_.group(1).toInt).getOrElse(0)
     val m = spark.read.parquet(s"$indexDir/head_cache3")

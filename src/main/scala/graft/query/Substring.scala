@@ -2,7 +2,6 @@ package graft.query
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Exact substring (cross-token) search — the closest Spark analog of the
   * reference's FM-index backward search (`gin query find` matches
@@ -113,11 +112,21 @@ object Substring {
           length(expr("replace(content, pat, '')"))) / length(col("pat")))
           .cast("long"))
       .select("query_id", "doc_id", "n_matches", "first_offset")
-    if (maxMatches == Long.MaxValue) matched
-    else matched
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("query_id").orderBy("doc_id")))
-      .filter(col("__rn") <= maxMatches)
-      .drop("__rn")
+    if (maxMatches >= Int.MaxValue) matched
+    else {
+      // bounded per-query smallest-doc_id selection via a typed
+      // aggregator (partial + final, O(maxMatches) rows per query cross
+      // the shuffle) — a window would funnel EVERY match of a common
+      // pattern through one task
+      val agg = new MinKByDocAgg(maxMatches.toInt)
+      matched.as[(Long, Long, Long, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => SubMatch(r._2, r._3, r._4))
+        .agg(agg.toColumn.name("hits"))
+        .flatMap { case (qid, hits) =>
+          hits.map(h => (qid, h.doc_id, h.n_matches, h.first_offset))
+        }
+        .toDF("query_id", "doc_id", "n_matches", "first_offset")
+    }
   }
 }

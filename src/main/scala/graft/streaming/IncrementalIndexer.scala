@@ -91,7 +91,7 @@ object IncrementalIndexer {
 
     // ids continue above every existing doc id; dl/sha derived in the
     // same pass (the snapshot schema, graft.index.CorpusRow)
-    val withIds = Builder.withDocIds(batch)
+    val withIds = Builder.withDocIds(batch, nPart)
       .withColumn("doc_id", col("doc_id") + base)
       .select("doc_id", "repo", "path", "commit", "lang", "content")
       .as[(Long, String, String, String, String, String)]
