@@ -186,6 +186,31 @@ class IndexSpec extends SparkTestBase {
     h.close()
   }
 
+  test("cache/dictionary crash states heal or degrade gracefully") {
+    import spark.implicits._
+    import graft.query.{HeadCache, IndexHandle}
+    val d = tmpDir("crash-states")
+    Builder.build(spark, Synth.corpus(spark, 60, seed = 19L), d,
+      Builder.Config(blockSize = 16, nBuckets = 4, nSegments = 1,
+        saltTarget = 1000))
+    // cache marker WITHOUT data (crash between marker write and a failed
+    // rebuild): loaders must report an absent cache, not throw
+    graft.util.Fs.write(spark, s"$d/_COMMIT_head_cache2", """{"n":8,"k":5}""")
+    assert(HeadCache.loadPairs(spark, d) == (Map.empty, 0))
+    graft.util.Fs.delete(spark, s"$d/_COMMIT_head_cache2")
+    // searches still work with the dangling marker gone
+    assert(Searcher.searchTopK(spark, d,
+      Seq(Query(1, "id_0")), 5, Searcher.And, 4).count() > 0)
+    // legacy (pre-delta) dictionary crash state: dictionary renamed to an
+    // undo log and never restored — recovery must promote it
+    graft.util.Fs.rename(spark, s"$d/dictionary", s"$d/dictionary_undo_b7")
+    Builder.recoverDictionary(spark, d)
+    assert(graft.util.Fs.exists(spark, s"$d/dictionary"))
+    IndexHandle.invalidate(spark, d)
+    assert(Searcher.searchTopK(spark, d,
+      Seq(Query(1, "id_0")), 5, Searcher.And, 4).count() > 0)
+  }
+
   test("posting block ranges are disjoint and sorted per term (WAND invariant)") {
     import spark.implicits._
     val byTerm = spark.read.parquet(s"$indexDir/postings")
