@@ -193,6 +193,12 @@ object Bench {
     // ---- main session: gate queries on sfDir + latency + compression --
     val result = withSession(cpus, shufflePartitions = cpus) { spark =>
       val idxDir = freshDir("gate")
+      // JIT warm-up: a tiny build first, so the TIMED gate build measures
+      // the pipeline, not first-in-session codegen/classloading (~5-10s;
+      // the scaling legs' BuildLeg processes warm up the same way)
+      Builder.build(spark,
+        Corpus.fromDocuments(spark, sfDir).limit(100), freshDir("warm"),
+        Gate.gateConfig.copy(shufflePartitions = cpus))
       // per-stage wall times via the build's stageLog hook (the north
       // rule's per-stage throughput metrics, published in the JSON)
       val stageSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
