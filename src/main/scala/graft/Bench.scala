@@ -162,10 +162,13 @@ object Bench {
     // a short hi run needs a fully-clean ~25s window and this host's
     // noise episodes are multi-minute, so the min estimator wants more
     // draws on the short leg
+    // hi processes run TWO timed reps each (warmup shared): 16 hi samples
+    // vs 4 lo — a ~25s leg needs a fully-clean window and suffers
+    // proportionally more from a stall than a ~90s leg does
     val procRuns: Seq[(Int, Seq[Double])] = (1 to rounds).flatMap { _ =>
       Seq(loCores -> legProcess(loCores, benchDocs, perProc),
-        hiCores -> legProcess(hiCores, benchDocs, perProc),
-        hiCores -> legProcess(hiCores, benchDocs, perProc))
+        hiCores -> legProcess(hiCores, benchDocs, 2),
+        hiCores -> legProcess(hiCores, benchDocs, 2))
     }.collect { case (c, Some(ts)) => c -> ts }
     val (runsLo, runsHi) =
       if (procRuns.count(_._1 == loCores) == rounds &&
