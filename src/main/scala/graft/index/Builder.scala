@@ -93,6 +93,25 @@ object Builder {
   def bucketOf(term: org.apache.spark.sql.Column, nBuckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(term), lit(nBuckets.toLong)).cast("int")
 
+  /** Cluster staged (…, doc_id, bucket) rows for a partitionBy("bucket")
+    * write with reduce-side parallelism that tracks `nPart` instead of
+    * collapsing to nBuckets: hashing on `bucket` alone lands the whole
+    * write on ≤ nBuckets reduce tasks no matter how wide the cluster is
+    * (at 1000 executors the heaviest writes of the build would run at
+    * parallelism 32). The shuffle key is (bucket, doc_id mod S) with S
+    * sized so bucket×subsplit ≈ 2·nPart distinct, uniformly-loaded keys
+    * — doc_id subsplitting is skew-free by construction (dense ids), a
+    * head term cannot re-concentrate a partition. Rows are then sorted
+    * by bucket within each task so the dynamic partitioned writer's
+    * required ordering is already satisfied and it streams files with no
+    * extra external sort (the 7-14x unclustered-write cliff). Directory
+    * layout is unchanged: partitionBy("bucket") still groups files. */
+  def clusterForBucketWrite(df: DataFrame, nBuckets: Int, nPart: Int): DataFrame = {
+    val subsplit = math.max(1L, math.ceil(2.0 * nPart / nBuckets).toLong)
+    df.repartition(nPart, col("bucket"), pmod(col("doc_id"), lit(subsplit)))
+      .sortWithinPartitions("bucket")
+  }
+
   /** (term, doc_id, n_pos, pos_deltas, bucket) rows for phrase search,
     * from a (doc_id, content) frame. Shared by the batch build (stage 3b)
     * and streaming ingest (per-batch append). */
@@ -123,7 +142,7 @@ object Builder {
       }
       .toDF("term", "doc_id", "n_pos", "pos_deltas")
       .withColumn("bucket", bucketOf(col("term"), nBuckets))
-      .repartition(nPart, col("bucket"))
+      .transform(clusterForBucketWrite(_, nBuckets, nPart))
   }
 
   /** (gram, doc_id, bucket) distinct char-trigram rows for substring
@@ -146,7 +165,7 @@ object Builder {
       }
       .toDF("gram", "doc_id")
       .withColumn("bucket", bucketOf(col("gram"), nBuckets))
-      .repartition(nPart, col("bucket"))
+      .transform(clusterForBucketWrite(_, nBuckets, nPart))
   }
 
   // commit markers go through the Hadoop FS API (graft.util.Fs) so
@@ -279,10 +298,11 @@ object Builder {
           out
         }
         .withColumn("bucket", bucketOf(col("term"), conf.nBuckets))
-        // cluster by bucket BEFORE the partitioned write: the dynamic
-        // writer otherwise external-sorts every task's rows across all
-        // bucket values (measured 7-14x slower than this shuffle)
-        .repartition(nPart, col("bucket"))
+        // cluster BEFORE the partitioned write (the unclustered dynamic
+        // write external-sorts every task across all buckets, 7-14x
+        // slower) — with a doc_id subsplit so reduce parallelism tracks
+        // nPart instead of collapsing to nBuckets (see clusterForBucketWrite)
+        .transform(clusterForBucketWrite(_, conf.nBuckets, nPart))
         .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(rawDir)
       commit(spark, outDir, "_COMMIT_postings_raw")
     }
@@ -560,18 +580,18 @@ object Builder {
     val pre = s"$indexDir/dictionary_predelta"
     if (!Fs.exists(spark, dict)) {
       if (Fs.exists(spark, compactDir)) {
-        Fs.rename(spark, compactDir, dict)
+        Fs.renameChecked(spark, compactDir, dict)
         Fs.delete(spark, s"$indexDir/dict_deltas")
         Fs.delete(spark, pre)
-      } else if (Fs.exists(spark, pre)) Fs.rename(spark, pre, dict)
+      } else if (Fs.exists(spark, pre)) Fs.renameChecked(spark, pre, dict)
       else {
         // legacy (pre-delta-segment) crash states: a half-promoted
         // dictionary_new, or an undo log holding the pre-batch dictionary
         val legacyNew = s"$indexDir/dictionary_new"
-        if (Fs.exists(spark, legacyNew)) Fs.rename(spark, legacyNew, dict)
+        if (Fs.exists(spark, legacyNew)) Fs.renameChecked(spark, legacyNew, dict)
         else Fs.list(spark, indexDir)
           .find(_.getName.startsWith("dictionary_undo_b"))
-          .foreach(p => Fs.rename(spark, p.toString, dict))
+          .foreach(p => Fs.renameChecked(spark, p.toString, dict))
       }
     } else if (Fs.exists(spark, pre)) {
       Fs.delete(spark, s"$indexDir/dict_deltas")
@@ -591,8 +611,8 @@ object Builder {
       // the swap renames postings away only AFTER postings_compact was
       // fully written, so if postings is missing the compact dir (when
       // present) is complete — promote it; otherwise roll back
-      if (Fs.exists(spark, compactDir)) Fs.rename(spark, compactDir, post)
-      else if (Fs.exists(spark, old)) Fs.rename(spark, old, post)
+      if (Fs.exists(spark, compactDir)) Fs.renameChecked(spark, compactDir, post)
+      else if (Fs.exists(spark, old)) Fs.renameChecked(spark, old, post)
     }
     if (Fs.exists(spark, post) && Fs.exists(spark, old))
       Fs.delete(spark, old) // crash after promote, before cleanup

@@ -44,6 +44,11 @@ object HeadCache {
     import spark.implicits._
     val handle = IndexHandle.open(spark, indexDir)
     val stats = handle.stats
+    // marker FIRST (mirrors buildPairs): a crash mid-rebuild must leave
+    // NO valid-looking marker over a partially written head_cache, or
+    // cached single-term top-k would be silently truncated
+    Fs.delete(spark, s"$indexDir/_COMMIT_head_cache")
+    Fs.delete(spark, s"$indexDir/head_cache")
     val headTerms: Seq[(String, Long)] =
       Builder.dictionary(spark, indexDir)
         .filter(col("df") >= minDf)

@@ -37,9 +37,23 @@ class IndexHandle private (
     } else fallbackBuckets
   }
 
-  // heal an interrupted Compactor postings swap / dictionary fold
-  Builder.recoverPostings(spark, dir)
-  Builder.recoverDictionary(spark, dir)
+  // heal an interrupted Compactor postings swap / dictionary fold — but
+  // only when the on-disk state actually shows one (a missing table or a
+  // leftover swap directory). A purely read-only open of a healthy index
+  // must issue NO repair renames: a reader racing an in-progress
+  // Compactor swap should never interleave its own renames with the
+  // writer's (local-FS interleavings happen to converge, but S3A-style
+  // rename semantics may not).
+  {
+    import graft.util.Fs
+    if (!Fs.exists(spark, s"$dir/postings") ||
+        Fs.exists(spark, s"$dir/postings_compact") ||
+        Fs.exists(spark, s"$dir/postings_old"))
+      Builder.recoverPostings(spark, dir)
+    if (!Fs.exists(spark, s"$dir/dictionary") ||
+        Fs.exists(spark, s"$dir/dictionary_predelta"))
+      Builder.recoverDictionary(spark, dir)
+  }
 
   val stats: Stats = Builder.loadStats(spark, dir)
 

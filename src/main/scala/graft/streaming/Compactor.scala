@@ -30,6 +30,13 @@ object Compactor {
   def foldDictionary(spark: SparkSession, indexDir: String,
                      nBuckets: Int, nPart: Int): Unit = {
     Builder.recoverDictionary(spark, indexDir)
+    // an unfinished ingest batch (_BASE_b* present without its commit
+    // marker) may already have promoted this batch's dict_deltas; folding
+    // them into the base NOW would double-count df/cf when the stream
+    // retries the batch and re-promotes the same delta. Refuse until the
+    // batch either commits (marker written, _BASE deleted) or is retried.
+    if (Fs.list(spark, indexDir).exists(_.getName.startsWith("_BASE_b")))
+      return
     if (!Fs.exists(spark, s"$indexDir/dict_deltas")) return
     Builder.dictionary(spark, indexDir)
       .repartition(math.min(nPart, nBuckets), org.apache.spark.sql.functions.col("bucket"))

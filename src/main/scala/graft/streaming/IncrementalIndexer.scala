@@ -51,7 +51,14 @@ object IncrementalIndexer {
                   conf: Builder.Config, batchId: Long): Unit = {
     import spark.implicits._
     val marker = s"$indexDir/_COMMIT_stream_batch_$batchId"
-    if (Fs.exists(spark, marker)) return
+    if (Fs.exists(spark, marker)) {
+      // the batch committed but a crash between the marker write and the
+      // base-marker cleanup left _BASE_b<id> behind: clear it here, or
+      // Compactor.foldDictionary (which refuses to run while an
+      // unfinished-batch marker exists) would be blocked forever
+      Fs.delete(spark, s"$indexDir/_BASE_b$batchId")
+      return
+    }
     Builder.recoverDictionary(spark, indexDir) // heal an interrupted fold
     if (batch.isEmpty) {
       Fs.write(spark, marker, "{}")
@@ -139,7 +146,7 @@ object IncrementalIndexer {
       }
       .withColumn("bucket", Builder.bucketOf(col("term"), c.nBuckets))
       .cache()
-    raw.repartition(nPart, col("bucket"))
+    Builder.clusterForBucketWrite(raw, c.nBuckets, nPart)
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$staging/postings_raw")
     Fs.promoteStaged(spark, s"$staging/postings_raw",

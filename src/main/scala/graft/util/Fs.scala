@@ -72,6 +72,14 @@ object Fs {
     fs.rename(new Path(from), new Path(to))
   }
 
+  /** Rename that FAILS LOUDLY instead of returning false: recovery and
+    * swap paths must never proceed past a rename the filesystem rejected
+    * (HDFS/S3A report e.g. an existing destination this way) — a silently
+    * ignored false leaves the index in a state the healing logic then
+    * misreads. */
+  def renameChecked(spark: SparkSession, from: String, to: String): Unit =
+    require(rename(spark, from, to), s"rename failed: $from -> $to")
+
   /** Recursively delete files named `prefix*` under `dir` (descends into
     * partition subdirectories). */
   def deletePrefixed(spark: SparkSession, dir: String, prefix: String): Unit = {

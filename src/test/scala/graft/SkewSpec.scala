@@ -57,4 +57,35 @@ class SkewSpec extends SparkTestBase {
       .collect()
     assert(hits.length == 1)
   }
+
+  test("postings_raw write parallelism tracks nPart, not nBuckets") {
+    // nBuckets << shufflePartitions: keying the staging shuffle on bucket
+    // alone would populate at most nBuckets reduce tasks; the (bucket,
+    // doc_id subsplit) key must spread the write across ~nPart tasks.
+    // Writer part numbers (part-NNNNN-*) identify the reduce task that
+    // wrote each file, so distinct part numbers = populated partitions.
+    val nBuckets = 4
+    val nPart = 16
+    val dir = tmpDir("wide-write")
+    Builder.build(spark, skewedCorpus(1200), dir,
+      Builder.Config(blockSize = 64, nBuckets = nBuckets, nSegments = 1,
+        saltTarget = 1000000, shufflePartitions = nPart))
+    def partIds(sub: String): Set[Int] = {
+      val root = new java.io.File(s"$dir/$sub")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).map(_.getName)
+        .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+        .map(_.stripPrefix("part-").take(5).toInt).toSet
+    }
+    val raw = partIds("postings_raw")
+    assert(raw.size > nBuckets,
+      s"postings_raw populated only ${raw.size} shuffle partitions " +
+        s"(<= nBuckets=$nBuckets): build write parallelism collapsed")
+    // queries over the subsplit layout stay correct
+    val hits = graft.query.Searcher.searchTopK(spark, dir,
+      Seq(graft.query.Searcher.Query(1, "hot uniq_7")), 5, nBuckets = nBuckets)
+      .collect()
+    assert(hits.length == 1)
+  }
 }
