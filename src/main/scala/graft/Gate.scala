@@ -46,6 +46,10 @@ object Gate {
   val NdTables = 12           //   buckets) — candidate volume stays
                               //   ~n·tables/2^planes, not quadratic
   val LshDims = 64            // embedding dimensionality
+  val AnnMaxBucket = 1000L    // drop degenerate (table, bucket) keys with
+  val NdMaxBucket = 1000L     //   more members than this (|bucket|² guard)
+  val OffsetsMaxMatches = 200L // --max-matches cap for the full offset
+                               //   decode gate (smallest (doc, offset))
 
   private def H60(e: String): String = graft.util.CrossHash.h60Sql(e)
 
@@ -266,6 +270,17 @@ object Gate {
       .select(col("doc_a").cast("long"), col("doc_b").cast("long"),
         col("jaccard"))
 
+  /** Near-dup clusters: connected components over the jaccard pair graph
+    * (same constants as q_neardup_jaccard) — every doc mapped to the
+    * smallest reachable doc_id. */
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.jaccardPairs(d, k = 3, minJ = 0.5,
+      maxShingleDf = MaxShingleDf)
+    Dedup.connectedComponents(d.select(col("doc_id")), pairs)
+      .select(col("doc_id").cast("long"), col("cluster_rep").cast("long"))
+  }
+
   def qMinhashCandidates(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidates(docs(s, dir), k = 3, nHashes = MinhashN,
         bands = MinhashBands, maxBucket = MinhashMaxBucket)
@@ -302,14 +317,16 @@ object Gate {
   def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     Ann.lshTopK(e.filter(col("vec_id") < 20), e, k = 5,
-        nPlanes = LshPlanes, nTables = LshTables, dims = LshDims)
+        nPlanes = LshPlanes, nTables = LshTables, dims = LshDims,
+        maxBucket = AnnMaxBucket)
       .select(col("query_id").cast("long"), col("rank").cast("long"),
         col("neighbor_id").cast("long"), col("cos"))
   }
 
   def qCosineNearDup(s: SparkSession, dir: String): DataFrame =
     Ann.cosineNearDupPairs(embs(s, dir), minCos = 0.4,
-        nPlanes = NdPlanes, nTables = NdTables, dims = LshDims)
+        nPlanes = NdPlanes, nTables = NdTables, dims = LshDims,
+        maxBucket = NdMaxBucket)
       .select(col("doc_a").cast("long"), col("doc_b").cast("long"),
         col("cos"))
 
@@ -322,6 +339,17 @@ object Gate {
         nBuckets = gateConfig.nBuckets, allowShortScan = true)
       .select(col("query_id").cast("long"), col("doc_id").cast("long"),
         col("n_matches").cast("long"), col("first_offset").cast("long"))
+
+  /** Full match decode — every (doc, 0-based offset) occurrence of each
+    * gate pattern, capped at OffsetsMaxMatches smallest (doc, offset)
+    * pairs per query (the reference's per-match `(v:…,o:…)` output under
+    * --max-matches, /root/reference/src/gin_gin.c:817-885). */
+  def qOffsets(s: SparkSession, dir: String): DataFrame =
+    graft.query.Substring.findOffsets(s, indexDir(s, dir), GateSubstrings,
+        nBuckets = gateConfig.nBuckets, maxMatches = OffsetsMaxMatches,
+        allowShortScan = true)
+      .select(col("query_id").cast("long"), col("doc_id").cast("long"),
+        col("offset").cast("long"))
 
   def qEventsWindow(s: SparkSession, dir: String): DataFrame =
     ops.Events.windowedTypeCounts(events(s, dir), "6 hours")
@@ -470,6 +498,43 @@ object Gate {
       WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common)
             >= 0.5""",
 
+    // connected components via a recursive CTE: reach(d, r) holds every
+    // (doc, reachable-id) pair over the symmetric near-dup edge set;
+    // min(r) per doc = the cluster representative (UNION dedups rows, so
+    // the recursion terminates at the transitive closure)
+    "q_dedup_clusters" -> s"""
+      WITH RECURSIVE tl AS (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                 x -> x <> '') AS t
+             FROM documents),
+      sh0 AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(len(t) - 2),
+                 p -> t[p + 1] || ' ' || t[p + 2] || ' ' || t[p + 3])) AS shingle
+        FROM tl WHERE len(t) >= 3),
+      okset AS (SELECT shingle FROM sh0 GROUP BY shingle
+                HAVING count(*) <= $MaxShingleDf),
+      sh AS (SELECT sh0.* FROM sh0 JOIN okset USING (shingle)),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      com AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pr AS (
+        SELECT c.doc_a, c.doc_b
+        FROM com c
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+        WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common)
+              >= 0.5),
+      edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+                UNION ALL SELECT doc_b, doc_a FROM pr),
+      reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.s, reach.r FROM edges e JOIN reach ON reach.doc_id = e.d)
+      SELECT doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1""",
+
     "q_langid" -> """
       WITH tl AS (SELECT doc_id,
                list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
@@ -567,9 +632,12 @@ object Gate {
 
     "q_ann_lsh" -> s"""
       WITH ${lshCtes(LshPlanes, LshTables)},
+      okb AS (SELECT t, bucket FROM buck GROUP BY t, bucket
+              HAVING count(*) <= $AnnMaxBucket),
+      buckc AS (SELECT buck.* FROM buck JOIN okb USING (t, bucket)),
       cand AS (
         SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-        FROM buck q JOIN buck c ON q.t = c.t AND q.bucket = c.bucket
+        FROM buck q JOIN buckc c ON q.t = c.t AND q.bucket = c.bucket
         WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
       dots AS (
         SELECT cd.query_id, cd.neighbor_id, sum(a.v * b.v) AS dot
@@ -592,9 +660,12 @@ object Gate {
 
     "q_cosine_neardup" -> s"""
       WITH ${lshCtes(NdPlanes, NdTables)},
+      okb AS (SELECT t, bucket FROM buck GROUP BY t, bucket
+              HAVING count(*) <= $NdMaxBucket),
+      buckc AS (SELECT buck.* FROM buck JOIN okb USING (t, bucket)),
       cand AS (
         SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
-        FROM buck a JOIN buck b
+        FROM buckc a JOIN buckc b
           ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
       dots AS (
         SELECT cd.doc_a, cd.doc_b, sum(a.v * b.v) AS dot
@@ -628,13 +699,37 @@ object Gate {
             FROM tl WHERE len(t) >= 3)
       SELECT gram, count(*) AS n FROM g GROUP BY 1""",
 
+    // OVERLAPPING occurrence count + 0-based first offset: the
+    // reference's suffix-array decode counts every suffix match
+    // (sa_hi - sa_lo), so 'aa' occurs twice in 'aaa'
     "q_substring" -> s"""$Prelude,
       sp(query_id, pat) AS (VALUES $SpValuesSql)
       SELECT sp.query_id, i.doc_id,
-             CAST((length(i.content) - length(replace(i.content, sp.pat, '')))
-                  // length(sp.pat) AS BIGINT) AS n_matches,
-             CAST(position(sp.pat IN i.content) AS BIGINT) AS first_offset
+             CAST(len(list_filter(
+                    range(length(i.content) - length(sp.pat) + 1),
+                    p -> substr(i.content, CAST(p AS INTEGER) + 1,
+                                length(sp.pat)) = sp.pat)) AS BIGINT)
+               AS n_matches,
+             CAST(position(sp.pat IN i.content) - 1 AS BIGINT) AS first_offset
       FROM sp JOIN ids i ON position(sp.pat IN i.content) > 0""",
+
+    "q_offsets" -> s"""$Prelude,
+      sp(query_id, pat) AS (VALUES $SpValuesSql),
+      occ AS (
+        SELECT sp.query_id, i.doc_id,
+               CAST(unnest(list_filter(
+                      range(length(i.content) - length(sp.pat) + 1),
+                      p -> substr(i.content, CAST(p AS INTEGER) + 1,
+                                  length(sp.pat)) = sp.pat)) AS BIGINT)
+                 AS "offset"
+        FROM sp JOIN ids i ON contains(i.content, sp.pat)),
+      rankedo AS (
+        SELECT query_id, doc_id, "offset",
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY doc_id, "offset") AS rn
+        FROM occ)
+      SELECT query_id, doc_id, "offset" FROM rankedo
+      WHERE rn <= $OffsetsMaxMatches""",
 
     "q_events_window" -> """
       SELECT CAST(epoch_us(time_bucket(INTERVAL '6 hours', ts)) // 1000000
@@ -734,6 +829,7 @@ object Gate {
     "q_spectrum_bigram" -> (qSpectrumBigram _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_neardup_jaccard" -> (qNearDupJaccard _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_minhash_candidates" -> (qMinhashCandidates _),
     "q_simhash" -> (qSimhash _),
     "q_langid" -> (qLangId _),
@@ -745,6 +841,7 @@ object Gate {
     "q_cosine_neardup" -> (qCosineNearDup _),
     "q_spectrum_k3" -> (qSpectrumK3 _),
     "q_substring" -> (qSubstring _),
+    "q_offsets" -> (qOffsets _),
     "q_events_window" -> (qEventsWindow _),
     "q_sessionize" -> (qSessionize _),
     "q_multimodal" -> (qMultimodal _))

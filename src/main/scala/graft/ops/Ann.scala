@@ -123,19 +123,48 @@ object Ann {
       .toDF("vec_id", "t", "bucket")
   }
 
+  /** Planes sized for the corpus: enough sign bits that the EXPECTED
+    * bucket occupancy n/2^planes stays ≤ `targetBucket` — the log-n
+    * growth that keeps candidate volume per table ~n·targetBucket/2
+    * instead of n²/2^planes as the corpus scales. Callers pass
+    * `nPlanes = 0` to the LSH entry points to use this. */
+  def autoPlanes(n: Long, targetBucket: Long = 256L): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(48, math.max(4, needed))
+  }
+
+  /** Drop every (table, bucket) whose occupancy exceeds `maxBucket`: a
+    * degenerate bucket (mass-duplicate embeddings, or n ≫ 2^planes)
+    * would otherwise emit |bucket|² candidate rows from one key. Exact
+    * duplicates are `Dedup.exactGroups`'s job upstream; dropping their
+    * mega-bucket here bounds the self-join at maxBucket² per key — the
+    * same guard `Dedup.minhashCandidates` applies to its band buckets. */
+  private[ops] def capBuckets(b: DataFrame, maxBucket: Long): DataFrame = {
+    val ok = b.groupBy("t", "bucket")
+      .agg(count(lit(1)).as("n_in_bucket"))
+      .filter(col("n_in_bucket") <= maxBucket)
+      .select("t", "bucket")
+    b.join(ok, Seq("t", "bucket"))
+  }
+
   /** Multi-table LSH approximate top-k: candidates = union over L hash
     * tables of same-bucket pairs (one shuffle on (table, bucket)), then
     * exact cosine re-rank. Band-OR across tables recovers the recall a
     * single table forfeits; candidate volume stays ~L·n/2^planes per
-    * query instead of n. */
+    * query instead of n. Corpus-side buckets larger than `maxBucket` are
+    * dropped (see capBuckets); `nPlanes = 0` derives planes from corpus
+    * size (autoPlanes). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nPlanes: Int = 8, nTables: Int = 6, dims: Int = 64): DataFrame = {
+              nPlanes: Int = 8, nTables: Int = 6, dims: Int = 64,
+              maxBucket: Long = 1000L): DataFrame = {
+    val planes = if (nPlanes > 0) nPlanes else autoPlanes(corpus.count())
     // candidate pairs carry ONLY ids through the join + distinct (16
     // bytes/row); embeddings are joined back afterwards — never shuffled
     // through the candidate dedup
-    val qb = bucketRows(queries, nPlanes, nTables, dims)
+    val qb = bucketRows(queries, planes, nTables, dims)
       .withColumnRenamed("vec_id", "query_id")
-    val cb = bucketRows(corpus, nPlanes, nTables, dims)
+    val cb = capBuckets(bucketRows(corpus, planes, nTables, dims), maxBucket)
       .withColumnRenamed("vec_id", "neighbor_id")
     val cand = qb.join(cb, Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -151,24 +180,36 @@ object Ann {
     rankTopK(scored, k)
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold (doc_a <
-    * doc_b): multi-table LSH candidate generation (NO cartesian product —
-    * the join key is (table, bucket)), exact cosine verification. Near
-    * dups have cos close to 1, exactly where hyperplane LSH recall is
-    * highest: P(pair survives) = 1-(1-(1-θ/π)^planes)^tables. */
-  def cosineNearDupPairs(corpus: DataFrame, minCos: Double,
-                         nPlanes: Int = 8, nTables: Int = 6,
-                         dims: Int = 64): DataFrame = {
+  /** Distinct same-bucket id pairs (doc_a < doc_b) across the L hash
+    * tables, with the maxBucket cap applied BEFORE the self-join — the
+    * candidate stage of cosineNearDupPairs, exposed so tests can assert
+    * the cap bounds candidate volume at O(maxBucket²) per bucket instead
+    * of O(|cluster|²). `nPlanes = 0` derives planes from corpus size. */
+  def lshCandidatePairs(corpus: DataFrame, nPlanes: Int, nTables: Int,
+                        dims: Int, maxBucket: Long): DataFrame = {
+    val planes = if (nPlanes > 0) nPlanes else autoPlanes(corpus.count())
     // ids-only candidate pairs (bucket join + distinct on 16-byte rows);
     // embeddings rejoin afterwards — Catalyst broadcasts the embedding
     // side when small, shuffle-joins on vec_id at scale
-    val b = bucketRows(corpus, nPlanes, nTables, dims)
+    val b = capBuckets(bucketRows(corpus, planes, nTables, dims), maxBucket)
     val l = b.as("a"); val r = b.as("b")
-    val cand = l.join(r,
+    l.join(r,
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")
           && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold (doc_a <
+    * doc_b): multi-table LSH candidate generation (NO cartesian product —
+    * the join key is (table, bucket), capped at maxBucket occupancy),
+    * exact cosine verification. Near dups have cos close to 1, exactly
+    * where hyperplane LSH recall is highest:
+    * P(pair survives) = 1-(1-(1-θ/π)^planes)^tables. */
+  def cosineNearDupPairs(corpus: DataFrame, minCos: Double,
+                         nPlanes: Int = 8, nTables: Int = 6,
+                         dims: Int = 64, maxBucket: Long = 1000L): DataFrame = {
+    val cand = lshCandidatePairs(corpus, nPlanes, nTables, dims, maxBucket)
     cand
       .join(corpus.select(col("vec_id").as("doc_a"),
         col("embedding").as("ea")), "doc_a")

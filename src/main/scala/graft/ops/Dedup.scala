@@ -193,6 +193,59 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over near-dup pair edges: every doc labeled
+    * with the SMALLEST doc_id reachable through the pair graph — the
+    * cluster representative a training-data pipeline actually consumes
+    * (keep rep, drop the rest), and the fork→root resolution analog
+    * (/root/reference/src/gin_gin.c:696-723 resolves forks to their
+    * surviving root the same way). Input pairs come from any of the
+    * pairwise detectors (jaccardPairs / minhashCandidates /
+    * cosineNearDupPairs); docs not in any pair are their own rep.
+    *
+    * Algorithm: iterative min-label propagation — per round each doc
+    * takes min(own label, neighbors' labels); converges in O(component
+    * diameter) rounds. Near-dup components are dense and shallow (they
+    * approximate cliques), so the round count stays small at corpus
+    * scale; each round is one join + one aggregation, lineage truncated
+    * by localCheckpoint so the loop's plan does not grow. Convergence is
+    * detected by the label SUM: labels only ever decrease, so an
+    * unchanged sum is a fixpoint — one cheap agg instead of a
+    * change-count join.
+    *
+    * Returns (doc_id, cluster_rep). */
+  def connectedComponents(docs: DataFrame, pairs: DataFrame,
+                          maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"),
+        col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col("doc_id"),
+      col("doc_id").cast("long").as("cluster_rep")).localCheckpoint()
+    var prevSum = labels.agg(sum("cluster_rep")).head().getLong(0)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src"))
+        .agg(min("cluster_rep").as("nbr_rep"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"),
+          "left")
+        .select(labels("doc_id"),
+          least(col("cluster_rep"),
+            coalesce(col("nbr_rep"), col("cluster_rep"))).as("cluster_rep"))
+        .localCheckpoint()
+      val s = next.agg(sum("cluster_rep")).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** SimHash (60-bit, h60 token hashes) over all token occurrences.
     * Pure column expressions: per bit, the sign of Σ_tokens (±1). */
   def simhash(docs: DataFrame): DataFrame = {

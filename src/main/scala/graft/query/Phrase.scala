@@ -20,9 +20,18 @@ object Phrase {
 
   /** Top-k docs containing each phrase exactly.
     * Requires the index to be built with storePositions=true.
-    * Returns (query_id, rank, doc_id, score). */
+    * Returns (query_id, rank, doc_id, score).
+    *
+    * `maxCandidates` is the --max-matches analog
+    * (/root/reference/gin.c:723-730) for the phrase path: the
+    * conjunctive candidate set is capped per query BEFORE the positions
+    * join and adjacency verification (k smallest doc_ids kept —
+    * deterministic), so a two-common-term phrase cannot drag an
+    * unbounded verification join behind it. The default is uncapped
+    * (exact); at corpus scale callers pass a budget. */
   def searchTopK(spark: SparkSession, indexDir: String,
-                 phrases: Seq[Searcher.Query], k: Int): DataFrame = {
+                 phrases: Seq[Searcher.Query], k: Int,
+                 maxCandidates: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
     require(graft.util.Fs.exists(spark, s"$indexDir/_COMMIT_positions"),
       s"index at $indexDir was built without storePositions=true")
@@ -42,9 +51,22 @@ object Phrase {
       .toDF("query_id", "rank", "doc_id", "score")
     if (live.isEmpty) return emptyOut
 
-    // conjunctive candidates from the core index
-    val candidates = Searcher.searchCandidates(spark, indexDir,
+    // conjunctive candidates from the core index (already block-pruned),
+    // budget applied per query through a bounded aggregator — never a
+    // global sort or an unbounded per-query row set
+    val candidatesAll = Searcher.searchCandidates(spark, indexDir,
       phrases.filter(q => live.contains(q.query_id)))
+    val candidates =
+      if (maxCandidates >= Int.MaxValue) candidatesAll
+      else {
+        val cap = new MinKLongAgg(maxCandidates.toInt)
+        candidatesAll.as[(Long, Long)]
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .agg(cap.toColumn.name("docs"))
+          .flatMap { case (qid, docs) => docs.map(d => (qid, d)) }
+          .toDF("query_id", "doc_id")
+      }
 
     // positions for the candidate docs' terms
     val liveTerms = live.keys.flatMap(distinctPerQuery).toSeq.distinct
@@ -90,7 +112,14 @@ object Phrase {
       distinctPerQuery(qid).map(t =>
         (qid, t, Bm25.idf(stats.n_docs, dict(t))))
     }.toDF("query_id", "term", "idf")
-    val postings = handle.blocksFor(liveTerms).select(col("term"),
+    // scoring decodes ONLY blocks overlapping the conjunctive interval
+    // intersection of each phrase's terms (the same IMT-style pre-merge
+    // the top-k path runs) — not every block of every phrase term; the
+    // left_semi below then narrows rows to the verified docs
+    val prunedBlocks = Searcher.pruneBlocks(spark, handle,
+      handle.blocksFor(liveTerms),
+      live.keys.map(qid => qid -> distinctPerQuery(qid)).toMap)
+    val postings = prunedBlocks.select(col("term"),
         graft.functions.DecodePostings.rows(col("num_docs"),
           col("doc_deltas"), col("tfs"), col("dls"))
           .as(Seq("doc_id", "tf", "dl")))

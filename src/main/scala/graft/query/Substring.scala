@@ -12,18 +12,21 @@ import org.apache.spark.sql.functions._
   *   1. candidates: docs containing ALL distinct character trigrams of
   *      the pattern — an AND over the `trigrams/` table (bucket + gram
   *      pushdown, counting semi-join; same shape as term intersection);
-  *   2. verify: `contains(content, pattern)` evaluated over ONLY the
+  *   2. verify: a per-candidate content scan evaluated over ONLY the
   *      candidate docs' content (a semi-joined scan, never the corpus).
   *
   * The result is EXACT for any pattern >= 3 chars (trigram pruning has no
-  * false negatives). Output mirrors the reference's match decode
-  * (/root/reference/gin.c:1018-1072: the `(c:…)` count and `(v:…,o:…)`
-  * offset fields): per matching doc the occurrence count (non-overlapping,
-  * left-to-right) and the 1-based offset of the first occurrence.
+  * false negatives). Match semantics mirror the reference's suffix-array
+  * decode (/root/reference/src/gin_gin.c:817-885): occurrences are
+  * counted OVERLAPPING (pattern `aa` occurs twice in `aaa` — sa_hi-sa_lo
+  * counts every suffix match) and offsets are 0-based. `find` returns the
+  * per-doc count + first offset (the `(c:…)`/first-`(v:…,o:…)` summary,
+  * gin.c:1018-1072); `findOffsets` decodes EVERY (doc, offset) pair (the
+  * full match decode, README.md:267-416).
   *
   * Guardrails for the 100 TB deployment:
-  *  - `maxMatches` caps the matching docs returned per query (lowest
-  *    doc_ids kept — deterministic), the reference's --max-matches
+  *  - `maxMatches` caps the rows returned per query (lowest (doc_id[,
+  *    offset]) kept — deterministic), the reference's --max-matches
   *    (/root/reference/gin.c:723-730);
   *  - patterns shorter than 3 chars cannot use the trigram index; they
   *    are REJECTED unless `allowShortScan = true`, because the fallback
@@ -32,14 +35,15 @@ import org.apache.spark.sql.functions._
   */
 object Substring {
 
-  /** Max distinct trigrams probed per pattern (see viaIndex). */
+  /** Max distinct trigrams probed per pattern (see candidateDocs). */
   val MaxGramsPerQuery = 16
 
-  /** Returns (query_id, doc_id, n_matches, first_offset). */
-  def find(spark: SparkSession, indexDir: String,
-           queries: Seq[(Long, String)], nBuckets: Int = 32,
-           maxMatches: Long = Long.MaxValue,
-           allowShortScan: Boolean = false): DataFrame = {
+  /** Candidate (query_id, doc_id, content, pat) rows: trigram-index AND
+    * for patterns >= 3 chars, explicit-opt-in corpus scan for shorter
+    * ones. Shared by `find` and `findOffsets`. */
+  private def candidateDocs(spark: SparkSession, indexDir: String,
+      queries: Seq[(Long, String)], nBuckets: Int,
+      allowShortScan: Boolean): DataFrame = {
     import spark.implicits._
     require(graft.util.Fs.exists(spark, s"$indexDir/_COMMIT_trigrams"),
       s"index at $indexDir was built without storeTrigrams=true")
@@ -63,7 +67,7 @@ object Substring {
         // long patterns: probing EVERY gram scans index rows proportional
         // to pattern length for no extra pruning — any SUBSET of the
         // AND-conditions is still exact (superset of candidates, the
-        // contains-verify stays the filter of record), so cap the probe
+        // content verify stays the filter of record), so cap the probe
         // at MaxGramsPerQuery evenly spaced grams (the Google Code
         // Search / pg_trgm query-planning trick)
         val grams =
@@ -93,7 +97,7 @@ object Substring {
       // sub-trigram patterns: verify scan (explicitly opted into)
       Some(corpus.crossJoin(broadcast(short.toDF("query_id", "pat"))))
     }
-    val candidates = (viaIndex, viaScan) match {
+    (viaIndex, viaScan) match {
       case (Some(a), Some(b)) => a.unionByName(b)
       case (Some(a), None) => a
       case (None, Some(b)) => b
@@ -101,17 +105,47 @@ object Substring {
         Seq.empty[(Long, Long, String, String)]
           .toDF("query_id", "doc_id", "content", "pat")
     }
-    // verify + decode in one codegen'd projection: occurrence count via
-    // the length-of-replace identity (exactly reproducible in SQL), first
-    // offset via instr (1-based)
+  }
+
+  /** All 0-based offsets of `pat` in `content`, stepping by 1 so
+    * overlapping occurrences all count — exactly the suffix-array
+    * occurrence set the reference decodes (sa_hi - sa_lo entries). */
+  private[query] def occurrenceOffsets(content: String, pat: String): Array[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = content.indexOf(pat)
+    while (i >= 0) { out += i.toLong; i = content.indexOf(pat, i + 1) }
+    out.toArray
+  }
+
+  /** Returns (query_id, doc_id, n_matches, first_offset): overlapping
+    * occurrence count + 0-based first offset per matching doc. */
+  def find(spark: SparkSession, indexDir: String,
+           queries: Seq[(Long, String)], nBuckets: Int = 32,
+           maxMatches: Long = Long.MaxValue,
+           allowShortScan: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val candidates =
+      candidateDocs(spark, indexDir, queries, nBuckets, allowShortScan)
+    // verify + decode in one typed pass: a single overlapping indexOf
+    // scan per candidate doc yields both the count and the first offset
+    // (imperative string scanning per partition — the mapPartitions rung
+    // is the right one here, there is no codegen'd overlapping-count
+    // builtin and a sequence()+filter() expression materializes an
+    // O(|content|) array per row)
     val matched = candidates
-      .withColumn("first_offset", expr("instr(content, pat)").cast("long"))
-      .filter(col("first_offset") > 0)
-      .withColumn("n_matches",
-        ((length(col("content")) -
-          length(expr("replace(content, pat, '')"))) / length(col("pat")))
-          .cast("long"))
-      .select("query_id", "doc_id", "n_matches", "first_offset")
+      .select("query_id", "doc_id", "content", "pat")
+      .as[(Long, Long, String, String)]
+      .mapPartitions(_.flatMap { case (qid, did, content, pat) =>
+        val first = content.indexOf(pat)
+        if (first < 0) None
+        else {
+          var n = 0L
+          var i = first
+          while (i >= 0) { n += 1; i = content.indexOf(pat, i + 1) }
+          Some((qid, did, n, first.toLong))
+        }
+      })
+      .toDF("query_id", "doc_id", "n_matches", "first_offset")
     if (maxMatches >= Int.MaxValue) matched
     else {
       // bounded per-query smallest-doc_id selection via a typed
@@ -127,6 +161,41 @@ object Substring {
           hits.map(h => (qid, h.doc_id, h.n_matches, h.first_offset))
         }
         .toDF("query_id", "doc_id", "n_matches", "first_offset")
+    }
+  }
+
+  /** Full match decode — every (doc, offset) occurrence per query, the
+    * reference's per-match output rows (`(v:…,o:…)`,
+    * /root/reference/src/gin_gin.c:817-885, format README.md:267-416).
+    * `maxMatches` caps rows per query at the smallest (doc_id, offset)
+    * pairs (deterministic), the --max-matches analog; the cap rides a
+    * bounded typed aggregator so only O(maxMatches) rows per query ever
+    * cross a shuffle. Returns (query_id, doc_id, offset). */
+  def findOffsets(spark: SparkSession, indexDir: String,
+                  queries: Seq[(Long, String)], nBuckets: Int = 32,
+                  maxMatches: Long = Long.MaxValue,
+                  allowShortScan: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val candidates =
+      candidateDocs(spark, indexDir, queries, nBuckets, allowShortScan)
+    val occ = candidates
+      .select("query_id", "doc_id", "content", "pat")
+      .as[(Long, Long, String, String)]
+      .mapPartitions(_.flatMap { case (qid, did, content, pat) =>
+        occurrenceOffsets(content, pat).iterator.map(o => (qid, did, o))
+      })
+      .toDF("query_id", "doc_id", "offset")
+    if (maxMatches >= Int.MaxValue) occ
+    else {
+      val agg = new MinKPairAgg(maxMatches.toInt)
+      occ.as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(agg.toColumn.name("hits"))
+        .flatMap { case (qid, hits) =>
+          hits.map { case (did, off) => (qid, did, off) }
+        }
+        .toDF("query_id", "doc_id", "offset")
     }
   }
 }

@@ -40,6 +40,50 @@ class MinKByDocAgg(k: Int)
   def outputEncoder: Encoder[Seq[SubMatch]] = ExpressionEncoder()
 }
 
+/** Bounded smallest-k aggregator over (doc_id, offset) pairs in
+  * lexicographic order — the `--max-matches` cap for the all-occurrence
+  * offset decode (/root/reference/gin.c:723-730): O(k) rows per query
+  * cross the shuffle, deterministic (smallest (doc, offset) kept). */
+class MinKPairAgg(k: Int)
+    extends Aggregator[(Long, Long), List[(Long, Long)], Seq[(Long, Long)]] {
+  private def lt(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+  private def insert(buf: List[(Long, Long)],
+                     x: (Long, Long)): List[(Long, Long)] =
+    if (buf.lengthCompare(k) >= 0 && !lt(x, buf.last)) buf
+    else {
+      val (pre, post) = buf.span(lt(_, x))
+      (pre ::: (x :: post)).take(k)
+    }
+  def zero: List[(Long, Long)] = Nil
+  def reduce(buf: List[(Long, Long)], x: (Long, Long)): List[(Long, Long)] =
+    insert(buf, x)
+  def merge(a: List[(Long, Long)], b: List[(Long, Long)]): List[(Long, Long)] =
+    b.foldLeft(a)(insert)
+  def finish(buf: List[(Long, Long)]): Seq[(Long, Long)] = buf
+  def bufferEncoder: Encoder[List[(Long, Long)]] = ExpressionEncoder()
+  def outputEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder()
+}
+
+/** Bounded smallest-k aggregator over plain longs (candidate doc ids) —
+  * the phrase path's `max_matches` budget: partial buffers and bounded
+  * merge keep O(k) rows per query on the shuffle, and "k smallest
+  * doc_ids" is a deterministic cap (same shape as MinKByDocAgg). */
+class MinKLongAgg(k: Int) extends Aggregator[Long, List[Long], Seq[Long]] {
+  private def insert(buf: List[Long], x: Long): List[Long] =
+    if (buf.lengthCompare(k) >= 0 && x >= buf.last) buf
+    else {
+      val (pre, post) = buf.span(_ < x)
+      (pre ::: (x :: post)).take(k)
+    }
+  def zero: List[Long] = Nil
+  def reduce(buf: List[Long], x: Long): List[Long] = insert(buf, x)
+  def merge(a: List[Long], b: List[Long]): List[Long] = b.foldLeft(a)(insert)
+  def finish(buf: List[Long]): Seq[Long] = buf
+  def bufferEncoder: Encoder[List[Long]] = ExpressionEncoder()
+  def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+}
+
 class TopKAgg(k: Int) extends Aggregator[Scored, List[Scored], Seq[Scored]] {
   private def better(a: Scored, b: Scored): Boolean =
     a.score > b.score || (a.score == b.score && a.doc_id < b.doc_id)

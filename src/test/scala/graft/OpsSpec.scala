@@ -206,6 +206,58 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("connectedComponents: chains, separate clusters, singletons") {
+    import spark.implicits._
+    val n = 30L
+    val nodes = (0L until n).toDF("doc_id")
+    // a 10-node PATH (worst-case diameter, forces multi-round
+    // propagation), a triangle, one extra pair, rest singletons
+    val pairs = ((0L until 9L).map(i => (i, i + 1)) ++
+      Seq((15L, 16L), (16L, 17L), (15L, 17L), (20L, 25L)))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    (0L to 9L).foreach(i => assert(got(i) == 0L, s"path node $i"))
+    Seq(15L, 16L, 17L).foreach(i => assert(got(i) == 15L))
+    assert(got(20L) == 20L && got(25L) == 20L)
+    ((10L to 14L) ++ (18L to 19L) ++ (21L to 24L) ++ (26L until n))
+      .foreach(i => assert(got(i) == i, s"singleton $i"))
+  }
+
+  test("LSH bucket cap bounds a mass-duplicate cluster at O(cap²), not O(n²)") {
+    import spark.implicits._
+    val dims = 8
+    // 300 byte-identical embeddings (a degenerate duplicate cluster — at
+    // corpus scale these are exactGroups' job, not the LSH join's) plus a
+    // small distinct near-dup pair off in its own direction
+    val dup = (0 until dims).map(d => math.sin(d * 0.9).toFloat)
+    val a = (0 until dims).map(d => math.cos(d * 1.7).toFloat)
+    val b = a.zipWithIndex.map { case (v, d) => v + (if (d == 0) 0.01f else 0f) }
+    val emb = ((0L until 300L).map(i => (i, dup)) ++
+      Seq((900L, a), (901L, b))).toDF("vec_id", "embedding")
+    // uncapped: the duplicate cluster alone forces >= C(300,2) candidates
+    val uncapped = Ann.lshCandidatePairs(emb, nPlanes = 4, nTables = 2,
+      dims = dims, maxBucket = Long.MaxValue).count()
+    assert(uncapped >= 300L * 299 / 2, s"uncapped candidates $uncapped")
+    // capped: every duplicate-cluster bucket (occupancy 300 > 10) drops,
+    // so no candidate touches the cluster; the small-bucket pair survives
+    val capped = Ann.lshCandidatePairs(emb, nPlanes = 4, nTables = 2,
+      dims = dims, maxBucket = 10).as[(Long, Long)].collect()
+    assert(capped.forall { case (x, y) => x >= 900L && y >= 900L },
+      s"cluster pairs leaked through the cap: ${capped.take(5).toSeq}")
+    val pairs = Ann.cosineNearDupPairs(emb, minCos = 0.97, nPlanes = 4,
+        nTables = 2, dims = dims, maxBucket = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).contains((900L, 901L)), pairs.toSeq)
+  }
+
+  test("autoPlanes grows with log n and is clamped") {
+    assert(Ann.autoPlanes(100) == 4) // floor
+    assert(Ann.autoPlanes(256L << 10) == 10)
+    assert(Ann.autoPlanes(256L << 20) == 20)
+    assert(Ann.autoPlanes(Long.MaxValue) == 48) // ceiling
+  }
+
   test("jaccardPairs: hot-shingle cap bounds join fan-out, keeps true dups") {
     import spark.implicits._
     // poison: one universal boilerplate line in EVERY doc

@@ -57,4 +57,36 @@ class PhraseSpec extends SparkTestBase {
       .map(r => (r.getLong(2), r.getDouble(3))).toSet
     assert(single == phraseSingle)
   }
+
+  test("maxCandidates budget caps the verification set deterministically") {
+    import spark.implicits._
+    // a phrase of two COMMON terms: many conjunctive candidates
+    val docs = Builder.withDocIds(corpus)
+      .select($"doc_id", $"content").as[(Long, String)].collect()
+    val pair = docs.iterator.flatMap { case (_, c) =>
+      Tokenizer.tokens(c).toSeq.sliding(2).toSeq
+    }.toSeq.groupBy(identity).maxBy(_._2.size)._1
+    val q = Seq(Searcher.Query(1, pair.mkString(" ")))
+    // k larger than the corpus: `full` holds EVERY verified match
+    val full = Phrase.searchTopK(spark, indexDir, q, 500).collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toMap
+    assert(full.size > 3, s"fixture too small: ${full.size} matches")
+    // budget smaller than the candidate count: results are exactly the
+    // verified matches among the `cap` LOWEST candidate doc_ids (the
+    // deterministic cap), scored identically to the uncapped run
+    val cap = 8
+    val candidates = docs.filter { case (_, c) =>
+      val ts = Tokenizer.tokens(c).toSet
+      ts.contains(pair(0)) && ts.contains(pair(1))
+    }.map(_._1).sorted
+    assert(candidates.length > cap, s"fixture: ${candidates.length} candidates")
+    val expect = candidates.take(cap).filter(full.contains).toSet
+    val capped = Phrase.searchTopK(spark, indexDir, q, 500,
+      maxCandidates = cap).collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(capped.map(_._1).toSet == expect,
+      s"got ${capped.map(_._1).toSeq.sorted} want ${expect.toSeq.sorted}")
+    capped.foreach { case (doc, score) =>
+      assert(full(doc) == score, s"score drift on doc $doc")
+    }
+  }
 }

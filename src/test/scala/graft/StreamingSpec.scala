@@ -186,7 +186,7 @@ class StreamingSpec extends SparkTestBase {
       .select("doc_id", "n_matches", "first_offset")
       .as[(Long, Long, Long)].collect()
     assert(sub.length == 1 && sub(0)._2 == 1L &&
-      sub(0)._3 == late.content.indexOf("rawXYZneedle99") + 1)
+      sub(0)._3 == late.content.indexOf("rawXYZneedle99"))
     // the streamed doc is the one found (ids are dense, so it's the max)
     val maxId = spark.read.parquet(s"$dir/docmeta")
       .agg(max("doc_id")).as[Long].head()

@@ -20,11 +20,11 @@ class SubstringSpec extends SparkTestBase {
     d
   }
 
-  /** Non-overlapping left-to-right occurrence count (the engine's
-    * semantics, same as length-of-replace). */
+  /** OVERLAPPING occurrence count (the reference's suffix-array decode
+    * semantics: sa_hi - sa_lo counts every suffix match). */
   private def countOcc(content: String, pat: String): Long = {
     var n = 0L; var i = content.indexOf(pat)
-    while (i >= 0) { n += 1; i = content.indexOf(pat, i + pat.length) }
+    while (i >= 0) { n += 1; i = content.indexOf(pat, i + 1) }
     n
   }
 
@@ -46,7 +46,7 @@ class SubstringSpec extends SparkTestBase {
       (docId, content) <- withIds
       if content.contains(pat)
     } yield (qid, docId, countOcc(content, pat),
-        (content.indexOf(pat) + 1).toLong)).toSet
+        content.indexOf(pat).toLong)).toSet
     assert(got == want)
     assert(got.exists(_._1 == 1L))   // the sampled substring matches
     assert(!got.exists(_._1 == 3L))  // no false positives
@@ -97,8 +97,57 @@ class SubstringSpec extends SparkTestBase {
     val want = (for {
       (docId, content) <- withIds if content.contains(pat)
     } yield (1L, docId, countOcc(content, pat),
-        (content.indexOf(pat) + 1).toLong)).toSet
+        content.indexOf(pat).toLong)).toSet
     assert(got == want && got.nonEmpty)
+  }
+
+  test("overlapping occurrences all count (reference suffix-array semantics)") {
+    import spark.implicits._
+    val d = tmpDir("substr-ovl")
+    val docs = Seq(graft.index.CodeDoc("r", "a.txt", "c1", "x", "xaaax baaab"))
+      .toDF()
+    Builder.build(spark, docs, d,
+      Builder.Config(blockSize = 32, nBuckets = 4, nSegments = 1,
+        saltTarget = 60, storeTrigrams = true))
+    val got = Substring.find(spark, d, Seq(1L -> "aa"), nBuckets = 4,
+        allowShortScan = true)
+      .as[(Long, Long, Long, Long)].collect()
+    // 'aa' in "xaaax baaab": offsets 1,2 (overlapping) and 7,8 -> 4 total
+    assert(got.toSeq == Seq((1L, 0L, 4L, 1L)))
+    val offs = Substring.findOffsets(spark, d, Seq(1L -> "aa"), nBuckets = 4,
+        allowShortScan = true)
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(offs.map(_._3).toSeq == Seq(1L, 2L, 7L, 8L))
+  }
+
+  test("findOffsets equals a brute-force scan; maxMatches keeps smallest pairs") {
+    import spark.implicits._
+    val sample = Synth.doc(5L, 42L).content
+    val queries = Seq(1L -> sample.substring(10, 30), 2L -> "id_1 id_")
+    val got = Substring.findOffsets(spark, indexDir, queries, nBuckets = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    val withIds = Builder.withDocIds(corpus)
+      .select($"doc_id", $"content").as[(Long, String)].collect()
+    def offs(content: String, pat: String): Seq[Long] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var i = content.indexOf(pat)
+      while (i >= 0) { out += i.toLong; i = content.indexOf(pat, i + 1) }
+      out.toSeq
+    }
+    val want = (for {
+      (qid, pat) <- queries
+      (docId, content) <- withIds
+      o <- offs(content, pat)
+    } yield (qid, docId, o)).toSet
+    assert(got == want && got.nonEmpty)
+    // cap: exactly the maxMatches smallest (doc_id, offset) pairs per query
+    val capped = Substring.findOffsets(spark, indexDir, queries,
+        nBuckets = 8, maxMatches = 5L)
+      .as[(Long, Long, Long)].collect()
+    val wantCapped = want.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.toSeq.sortBy(r => (r._2, r._3)).take(5)
+    }.toSet
+    assert(capped.toSet == wantCapped)
   }
 
   test("trigram candidates prune the verify scan (index actually narrows)") {
