@@ -237,6 +237,7 @@ object Bench {
       }
       val wandRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
       val relRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val execRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
       def runLegPair(): Unit = {
         wandRuns += time {
           batchQueries.grouped(64).foreach { g =>
@@ -250,12 +251,20 @@ object Bench {
       Searcher.lastStats.clear()
       runLegPair() // rel rep 1 = COLD: pays the one-off interval jobs
 
-      // per-gate-query wall times (the driver's "queries" map)
-      val queryTimes: Seq[(String, Double)] = Gate.queries.toSeq.sortBy(_._1)
-        .map { case (name, fn) =>
+      // per-gate-query wall times (the driver's "queries" map), taken
+      // THREE times at spread points across the session and reported as
+      // per-query MIN + the runs array — single-shot legs were the one
+      // place a multi-minute host-noise episode was indistinguishable
+      // from a real regression in the published artifact
+      val gateQueryRuns = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+      def runGateQueries(): Unit = Gate.queries.toSeq.sortBy(_._1)
+        .foreach { case (name, fn) =>
           val (_, secs) = time { fn(spark, sfDir).count() }
-          name -> secs
+          gateQueryRuns.getOrElseUpdate(name,
+            scala.collection.mutable.ArrayBuffer.empty) += secs
         }
+      runGateQueries() // spread point 1 of 3
       runLegPair()
 
       // single-query top-k latency: per-query MIN across interleaved reps
@@ -276,6 +285,12 @@ object Bench {
       val lat = latSamples.sorted.toSeq
       def pct(p: Double) =
         lat(math.min(lat.length - 1, (p * lat.length).toInt))
+      // executor-side batch serving (distributed WAND): first spread rep
+      execRuns += time {
+        Searcher.searchTopKWandExecutors(spark, idxDir, batchQueries, 10)
+          .count()
+      }._2
+      runGateQueries() // spread point 2 of 3
       runLegPair()
 
       // reference-protocol sweep: qps per query size over queries sampled
@@ -317,10 +332,18 @@ object Bench {
         }
         len -> pats.length / runs.min
       }
+      execRuns += time {
+        Searcher.searchTopKWandExecutors(spark, idxDir, batchQueries, 10)
+          .count()
+      }._2
+      runGateQueries() // spread point 3 of 3
       runLegPair() // 4th spread point
       val wandQps = nBatch / wandRuns.min
       val relQps = nBatch / relRuns.tail.min // warm (interval cache hit)
       val relColdQps = nBatch / relRuns.head
+      val execQps = nBatch / execRuns.min
+      val queryTimes: Seq[(String, Double)] =
+        gateQueryRuns.toSeq.map { case (n, rs) => n -> rs.min }
 
       // decode throughput — the reference's `Decode: Matches decoded per
       // second` (gin.c:1136): every conjunctive match of a 64-query batch
@@ -390,6 +413,33 @@ object Bench {
       val fracSynth = decodedFrac()
       val synthQps = synthQueries.length / synthRuns.min
 
+      // docID-ordering compression experiment (S4 / the permutation-
+      // annealing surrogate): the SAME localized corpus built under the
+      // default (repo, path) order vs a scrambled permutation — doc order
+      // is the delta-compression lever, so the default must beat the
+      // scramble measurably (this is the claim, measured per round)
+      def bppOf(dir: String): Double = {
+        val (pb, np) = spark.read.parquet(s"$dir/postings")
+          .agg(
+            sum(octet_length($"doc_deltas") + octet_length($"tfs") +
+              octet_length($"dls")).cast("double"),
+            sum($"num_docs").cast("long"))
+          .as[(Double, Long)].head()
+        pb / np
+      }
+      val shufDir = freshDir("synth-shuf")
+      Builder.build(spark,
+        Synth.localizedCorpus(spark, 20000)
+          .withColumn("ord", pmod(xxhash64(col("path"), lit(7L)),
+            lit(1L << 20))),
+        shufDir,
+        Builder.Config(blockSize = 128, nBuckets = 16, nSegments = 2,
+          saltTarget = 2000, shufflePartitions = cpus,
+          verifySegments = false,
+          orderCols = Seq("ord", "repo", "path", "commit")))
+      val bppOrdered = bppOf(synthDir)
+      val bppScrambled = bppOf(shufDir)
+
       // compression: payload bytes per posting vs a 12-byte raw row
       val (payloadBytes, nPostings) = spark.read.parquet(s"$idxDir/postings")
         .agg(
@@ -402,7 +452,9 @@ object Bench {
         payloadBytes / nPostings, wandQps, relQps, relColdQps,
         wandRuns.toSeq, relRuns.toSeq, nBatch, fracSf, fracSynth, synthQps,
         qpsByTerms, qpsBySubstr, stageSecs.toSeq, decodePerSec,
-        decodedMatches)
+        decodedMatches, execQps, execRuns.toSeq,
+        gateQueryRuns.toSeq.map { case (n, rs) => n -> rs.toSeq },
+        bppOrdered, bppScrambled)
     }
     import result._
 
@@ -431,8 +483,14 @@ object Bench {
       s""""wand_queries_per_sec":${f"$wandQps%.1f"},""" +
       s""""relational_batch_queries_per_sec":${f"$relQps%.1f"},""" +
       s""""relational_cold_queries_per_sec":${f"$relColdQps%.1f"},""" +
+      s""""wand_exec_queries_per_sec":${f"$execQps%.1f"},""" +
       s""""wand_runs_sec":${arr(wandRuns)},""" +
       s""""rel_runs_sec":${arr(relRuns)},""" +
+      s""""wand_exec_runs_sec":${arr(execRuns)},""" +
+      s""""query_runs":${gateQueryRuns.map { case (n, rs) =>
+        s""""$n":${arr(rs)}""" }.mkString("{", ",", "}")},""" +
+      s""""bytes_per_posting_by_ordering":{"repo_path":${f"$bppOrdered%.3f"},""" +
+      s""""scrambled":${f"$bppScrambled%.3f"}},""" +
       s""""qps_by_terms":${qpsMap(qpsByTerms)},""" +
       s""""qps_by_substr_len":${qpsMap(qpsBySubstr)},""" +
       s""""matches_decoded_per_sec":${f"$decodePerSec%.1f"},""" +
@@ -452,5 +510,7 @@ object Bench {
       fracSf: Double, fracSynth: Double, synthQps: Double,
       qpsByTerms: Seq[(Int, Double)], qpsBySubstr: Seq[(Int, Double)],
       stageSecs: Seq[(String, Double)], decodePerSec: Double,
-      decodedMatches: Long)
+      decodedMatches: Long, execQps: Double, execRuns: Seq[Double],
+      gateQueryRuns: Seq[(String, Seq[Double])],
+      bppOrdered: Double, bppScrambled: Double)
 }

@@ -44,9 +44,18 @@ object Builder {
       shufflePartitions: Int = 0, // 0 = leave session value
       storePositions: Boolean = false, // also write positions/ (phrases)
       storeTrigrams: Boolean = false, // also write trigrams/ (substring)
-      verifySegments: Boolean = true) // row-count+checksum readback per
+      verifySegments: Boolean = true, // row-count+checksum readback per
         // segment (2 extra jobs each); benchmarks may disable — resume
         // markers are still written, only their payload stats are empty
+      orderCols: Seq[String] = Seq("repo", "path", "commit"))
+        // docID ordering (S4, the `gin permutation` analog,
+        // /root/reference/gin.c:1569-1800): columns of the ingest frame
+        // that define doc_id = row_number() over (order by orderCols).
+        // Doc order is THE compression lever (delta-encoded posting ids
+        // shrink when co-occurring docs get nearby ids); the default
+        // clusters by repo/path, a measured better ordering plugs in as
+        // a rank column (withPermutation) + orderCols. MUST be a total
+        // order (unique key) or resumed builds lose id determinism.
 
   private val TokenSep = "[^a-z0-9_]+"
 
@@ -67,7 +76,8 @@ object Builder {
     * boundaries, never the order), so resumed builds stay byte-identical
     * — the deterministic-permutation analog
     * (/root/reference/src/gin_gin.c:103-112). */
-  def withDocIds(corpus: DataFrame, partitions: Int = 0): DataFrame = {
+  def withDocIds(corpus: DataFrame, partitions: Int = 0,
+                 orderCols: Seq[String] = Seq("repo", "path", "commit")): DataFrame = {
     val spark = corpus.sparkSession
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     // explicit partition count (caller's Config.shufflePartitions when
@@ -78,8 +88,8 @@ object Builder {
     val nPart = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val sorted = corpus
-      .repartitionByRange(nPart, col("repo"), col("path"), col("commit"))
-      .sortWithinPartitions("repo", "path", "commit")
+      .repartitionByRange(nPart, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.head, orderCols.tail: _*)
     val schema = StructType(sorted.schema.fields :+
       StructField("doc_id", LongType, nullable = false))
     // zipWithIndex = one cheap count job over the sorted shuffle output
@@ -89,6 +99,20 @@ object Builder {
     }
     spark.createDataFrame(rdd, schema)
   }
+
+  /** Plug in a user-measured document ordering — the `gin permutation`
+    * program's role (/root/reference/gin.c:1569-1800,
+    * include/permutation_parser.h: the reference anneals a vertex
+    * permutation offline and feeds it back into the index build).
+    * `perm` maps document identity (repo, path, commit) to a rank column
+    * `ord`; the returned frame carries `ord` so callers build with
+    * `Config(orderCols = Seq("ord", "repo", "path", "commit"))` — the
+    * identity suffix keeps the order total (deterministic ids), and docs
+    * absent from the permutation sort last in identity order. */
+  def withPermutation(corpus: DataFrame, perm: DataFrame): DataFrame =
+    corpus.join(perm.select("repo", "path", "commit", "ord"),
+        Seq("repo", "path", "commit"), "left")
+      .withColumn("ord", coalesce(col("ord"), lit(Long.MaxValue)))
 
   def bucketOf(term: org.apache.spark.sql.Column, nBuckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(term), lit(nBuckets.toLong)).cast("int")
@@ -195,7 +219,8 @@ object Builder {
     // self-describing index: readers must not guess the layout params
     graft.util.Fs.write(spark, s"$outDir/_META.json",
       s"""{"blockSize":${conf.blockSize},"nBuckets":${conf.nBuckets},""" +
-        s""""nSegments":${conf.nSegments},"saltTarget":${conf.saltTarget}}""")
+        s""""nSegments":${conf.nSegments},"saltTarget":${conf.saltTarget},""" +
+        s""""orderCols":"${conf.orderCols.mkString(",")}"}""")
 
     val corpusIdsDir = s"$outDir/corpus_ids"
     val docmetaDir = s"$outDir/docmeta"
@@ -217,7 +242,7 @@ object Builder {
       // no repartition here: withDocIds' range shuffle already leaves
       // nPart row-balanced partitions (the r2 per-repo window needed a
       // width-restoring shuffle; this saves it)
-      withDocIds(corpus, nPart)
+      withDocIds(corpus, nPart, conf.orderCols)
         .select("doc_id", "repo", "path", "commit", "lang", "content")
         .as[(Long, String, String, String, String, String)]
         .mapPartitions { it =>
@@ -535,11 +560,14 @@ object Builder {
     val s = graft.util.Fs.read(spark, p)
     def intOf(key: String): Option[Int] =
       s""""$key":(\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+    val oc = """"orderCols":"([^"]*)"""".r.findFirstMatchIn(s)
+      .map(_.group(1).split(',').toSeq.filter(_.nonEmpty))
+      .getOrElse(Seq("repo", "path", "commit"))
     for {
       bs <- intOf("blockSize"); nb <- intOf("nBuckets")
       ns <- intOf("nSegments"); st <- intOf("saltTarget")
     } yield Config(blockSize = bs, nBuckets = nb, nSegments = ns,
-      saltTarget = st)
+      saltTarget = st, orderCols = oc)
   }
 
   /** nBuckets from _META.json, else the caller's fallback. */

@@ -150,6 +150,76 @@ object Searcher {
     rows.toDF("query_id", "rank", "doc_id", "score")
   }
 
+  /** Executor-side exact BMW serving — the batch form of the driver WAND
+    * loop (the reference's thread-parallel query batches at cluster
+    * scale): still-compressed blocks join the broadcast query-term table
+    * on `term` (one shuffle, block payloads fan out only to the queries
+    * that need them — bounded by batch size), then ONE flatMapGroups per
+    * query rebuilds the per-term cursors and runs the IDENTICAL
+    * `Wand.topK` loop on an executor. Rankings are bit-identical to
+    * `searchTopKWand` (same code path per query); the driver never holds
+    * a posting block, so batch size and posting volume scale with the
+    * cluster, not the driver heap. Skew note: per-group memory equals
+    * one query's term blocks — the same bound the driver loop already
+    * imposes per thread. */
+  def searchTopKWandExecutors(spark: SparkSession, indexDir: String,
+      queries: Seq[Query], k: Int, mode: Mode = And,
+      nBuckets: Int = 32): DataFrame = {
+    import spark.implicits._
+    val handle = IndexHandle.open(spark, indexDir, nBuckets)
+    val stats = handle.stats
+    val termsPerQuery: Map[Long, Seq[String]] =
+      queries.map(q => q.query_id -> Tokenizer.tokens(q.text).distinct.toSeq).toMap
+    val allTerms = termsPerQuery.values.flatten.toSeq.distinct
+    val dict = handle.dfOf(allTerms)
+    val live = termsPerQuery.filter { case (_, ts) =>
+      ts.nonEmpty && (mode match {
+        case And => ts.forall(dict.contains)
+        case Or  => ts.exists(dict.contains)
+      })
+    }
+    val emptyOut = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "query_id BIGINT, rank INT, doc_id BIGINT, score DOUBLE"))
+    if (live.isEmpty) return emptyOut
+    val liveTerms = live.values.flatten.toSeq.distinct.filter(dict.contains)
+    val qt = live.toSeq.flatMap { case (qid, ts) =>
+      ts.filter(dict.contains)
+        .map(t => (qid, t, Bm25.idf(stats.n_docs, dict(t))))
+    }.toDF("query_id", "term", "idf")
+    val avgdl = stats.avgdl
+    val wandMode = if (mode == And) Wand.And else Wand.Or
+    handle.blocksFor(liveTerms)
+      .join(broadcast(qt), "term")
+      .select(col("query_id"), col("term"), col("idf"), col("block_id"),
+        col("doc_id_base"), col("doc_id_max"), col("num_docs"),
+        col("max_tf"), col("min_dl"), col("doc_deltas"), col("tfs"),
+        col("dls"))
+      .as[(Long, String, Double, Int, Long, Long, Int, Int, Int,
+        Array[Byte], Array[Byte], Array[Byte])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, String, Double, Int,
+          Long, Long, Int, Int, Int, Array[Byte], Array[Byte], Array[Byte])]) =>
+        val byTerm = scala.collection.mutable.LinkedHashMap
+          .empty[String, (Double, scala.collection.mutable.ArrayBuffer[PostingBlock])]
+        it.foreach { r =>
+          val (_, term, idf, bid, base, max, nd, mtf, mdl, dd, tfs, dls) = r
+          byTerm.getOrElseUpdate(term,
+            (idf, scala.collection.mutable.ArrayBuffer.empty[PostingBlock]))
+            ._2 += PostingBlock(term, bid, base, max, nd, mtf, mdl, dd, tfs, dls)
+        }
+        val tbs = byTerm.iterator.map { case (t, (idf, bs)) =>
+          Wand.TermBlocks(t, idf, bs.sortBy(_.doc_id_base).toArray)
+        }.toSeq
+        val (hits, _) = Wand.topK(tbs, k, avgdl, wandMode)
+        hits.iterator.zipWithIndex.map { case (s, i) =>
+          (qid, i + 1, s.doc_id, s.score)
+        }
+      }
+      .toDF("query_id", "rank", "doc_id", "score")
+  }
+
   /** Distributed relational plan (decode -> join -> aggregate -> typed
     * top-k); the path for posting volumes beyond the driver cap. */
   def searchTopKRelational(spark: SparkSession, indexDir: String, queries: Seq[Query],
