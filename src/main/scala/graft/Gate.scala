@@ -334,6 +334,20 @@ object Gate {
     Dedup.kgramSpectrum(docs(s, dir), 3)
       .select(col("gram"), col("n"))
 
+  /** Phrase occurrence decode: every (doc, 0-based token position) where
+    * a gate phrase starts — the token-domain full match decode. */
+  def qPhraseOffsets(s: SparkSession, dir: String): DataFrame =
+    graft.query.Phrase.findOccurrences(s, indexDir(s, dir), GatePhrases,
+        maxMatches = OffsetsMaxMatches)
+      .select(col("query_id").cast("long"), col("doc_id").cast("long"),
+        col("pos").cast("long"))
+
+  /** k-gram spectrum with origins (gin utils spectrum emits k-mers with
+    * their origin vertices). */
+  def qSpectrumOrigins(s: SparkSession, dir: String): DataFrame =
+    Dedup.kgramOrigins(docs(s, dir), 3)
+      .select(col("gram"), col("doc_id").cast("long"), col("n"))
+
   def qSubstring(s: SparkSession, dir: String): DataFrame =
     graft.query.Substring.find(s, indexDir(s, dir), GateSubstrings,
         nBuckets = gateConfig.nBuckets, allowShortScan = true)
@@ -699,6 +713,35 @@ object Gate {
             FROM tl WHERE len(t) >= 3)
       SELECT gram, count(*) AS n FROM g GROUP BY 1""",
 
+    "q_spectrum_origins" -> s"""
+      WITH $TlCte,
+      g AS (SELECT doc_id,
+              unnest(list_transform(range(len(t) - 2),
+                p -> t[p + 1] || ' ' || t[p + 2] || ' ' || t[p + 3])) AS gram
+            FROM tl WHERE len(t) >= 3)
+      SELECT gram, doc_id, count(*) AS n FROM g GROUP BY 1, 2""",
+
+    "q_phrase_offsets" -> s"""$Prelude,
+      ph(query_id, phrase) AS (VALUES $PhValuesSql),
+      phn AS (SELECT query_id, phrase, string_split(phrase, ' ') AS pts FROM ph),
+      tl AS (SELECT doc_id, list_filter(string_split_regex(lower(content),
+               '[^a-z0-9_]+'), x -> x <> '') AS t
+             FROM ids),
+      occ AS (
+        SELECT p.query_id, d.doc_id,
+               CAST(unnest(list_filter(range(len(d.t) - len(p.pts) + 1),
+                 i -> d.t[CAST(i AS INTEGER) + 1 :
+                          CAST(i AS INTEGER) + len(p.pts)] = p.pts))
+                 AS BIGINT) AS pos
+        FROM phn p JOIN tl d ON len(d.t) >= len(p.pts)),
+      rankedpo AS (
+        SELECT query_id, doc_id, pos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY doc_id, pos) AS rn
+        FROM occ)
+      SELECT query_id, doc_id, pos FROM rankedpo
+      WHERE rn <= $OffsetsMaxMatches""",
+
     // OVERLAPPING occurrence count + 0-based first offset: the
     // reference's suffix-array decode counts every suffix match
     // (sa_hi - sa_lo), so 'aa' occurs twice in 'aaa'
@@ -840,8 +883,10 @@ object Gate {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_cosine_neardup" -> (qCosineNearDup _),
     "q_spectrum_k3" -> (qSpectrumK3 _),
+    "q_spectrum_origins" -> (qSpectrumOrigins _),
     "q_substring" -> (qSubstring _),
     "q_offsets" -> (qOffsets _),
+    "q_phrase_offsets" -> (qPhraseOffsets _),
     "q_events_window" -> (qEventsWindow _),
     "q_sessionize" -> (qSessionize _),
     "q_multimodal" -> (qMultimodal _))

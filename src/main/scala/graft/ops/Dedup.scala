@@ -74,6 +74,19 @@ object Dedup {
       .groupBy("gram").agg(count(lit(1)).cast("long").as("n"))
   }
 
+  /** k-gram spectrum WITH origins: per (gram, doc) occurrence counts —
+    * the full `gin utils spectrum` surface, which emits each k-mer with
+    * its origin vertices (/root/reference/src/gin_graph.c:231-270);
+    * kgramSpectrum is its origin-blind aggregate. */
+  def kgramOrigins(docs: DataFrame, k: Int): DataFrame = {
+    val toks = Builder.tokensCol(col("text"))
+    docs.select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"),
+        explode(kgrams(col("t"), size(col("t")), k)).as("gram"))
+      .groupBy("gram", "doc_id").agg(count(lit(1)).cast("long").as("n"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index —
     * no all-pairs product: only docs sharing at least one shingle meet.
     *
@@ -90,12 +103,18 @@ object Dedup {
     *
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= minJ. */
   def jaccardPairs(docs: DataFrame, k: Int, minJ: Double,
-                   maxShingleDf: Long = 10000L): DataFrame = {
+                   maxShingleDf: Long = 10000L,
+                   shingleStorage: org.apache.spark.storage.StorageLevel =
+                     org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                   : DataFrame = {
     val sh0 = shingles(docs, k)
     val shDf = sh0.groupBy("shingle").agg(count(lit(1)).as("sh_df"))
+    // the capped shingle set is read 3x (sizes + both join sides); at
+    // corpus scale pass DISK_ONLY so the full shingle universe never
+    // competes for executor memory with the self-join's shuffle
     val sh = sh0.join(shDf.filter(col("sh_df") <= maxShingleDf), "shingle")
       .select("doc_id", "shingle")
-      .cache()
+      .persist(shingleStorage)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a"); val b = sh.as("b")
     val common = a.join(b, col("a.shingle") === col("b.shingle")

@@ -38,6 +38,17 @@ import graft.util.Fs
   */
 object HeadCache {
 
+  /** Sanity bound on cache entries a driver will pin: the build knobs
+    * (minDf, maxPairTerms, maxTripleTerms) already bound these tables,
+    * but nothing stopped a corrupted/mis-built cache from collecting an
+    * unbounded table into driver memory at load time. Oversized caches
+    * are SKIPPED (queries fall back to live search — correct, just not
+    * cached). */
+  val MaxCacheRows = 5000000L
+
+  private def rowCountOk(spark: SparkSession, path: String): Boolean =
+    spark.read.parquet(path).count() <= MaxCacheRows
+
   /** Precompute depth-1 top-k for all terms with df >= minDf.
     * Distributed: decode -> JVM-exact score -> TopKAgg by term. */
   def build(spark: SparkSession, indexDir: String, minDf: Long, k: Int): Unit = {
@@ -191,7 +202,8 @@ object HeadCache {
     import spark.implicits._
     val marker = s"$indexDir/_COMMIT_head_cache"
     if (!Fs.exists(spark, marker) ||
-        !Fs.exists(spark, s"$indexDir/head_cache")) return (Map.empty, 0)
+        !Fs.exists(spark, s"$indexDir/head_cache") ||
+        !rowCountOk(spark, s"$indexDir/head_cache")) return (Map.empty, 0)
     val meta = Fs.read(spark, marker)
     val k = """"k":(\d+)""".r.findFirstMatchIn(meta).map(_.group(1).toInt).getOrElse(0)
     val m = spark.read.parquet(s"$indexDir/head_cache")
@@ -209,7 +221,8 @@ object HeadCache {
     import spark.implicits._
     val marker = s"$indexDir/_COMMIT_head_cache2"
     if (!Fs.exists(spark, marker) ||
-        !Fs.exists(spark, s"$indexDir/head_cache2")) return (Map.empty, 0)
+        !Fs.exists(spark, s"$indexDir/head_cache2") ||
+        !rowCountOk(spark, s"$indexDir/head_cache2")) return (Map.empty, 0)
     val meta = Fs.read(spark, marker)
     val k = """"k":(\d+)""".r.findFirstMatchIn(meta).map(_.group(1).toInt).getOrElse(0)
     val m = spark.read.parquet(s"$indexDir/head_cache2")
@@ -227,7 +240,8 @@ object HeadCache {
     import spark.implicits._
     val marker = s"$indexDir/_COMMIT_head_cache3"
     if (!Fs.exists(spark, marker) ||
-        !Fs.exists(spark, s"$indexDir/head_cache3")) return (Map.empty, 0)
+        !Fs.exists(spark, s"$indexDir/head_cache3") ||
+        !rowCountOk(spark, s"$indexDir/head_cache3")) return (Map.empty, 0)
     val meta = Fs.read(spark, marker)
     val k = """"k":(\d+)""".r.findFirstMatchIn(meta).map(_.group(1).toInt).getOrElse(0)
     val m = spark.read.parquet(s"$indexDir/head_cache3")

@@ -77,35 +77,8 @@ object Phrase {
         && col("term").isin(liveTerms: _*))
       .select("term", "doc_id", "n_pos", "pos_deltas")
 
-    val seqB = spark.sparkContext.broadcast(live)
-    val verified = candidates
-      .join(positions.hint("shuffle_hash"), "doc_id")
-      .select($"query_id", $"doc_id", $"term", $"n_pos", $"pos_deltas")
-      .as[(Long, Long, String, Int, Array[Byte])]
-      .groupByKey(r => (r._1, r._2))
-      .mapGroups { (key: (Long, Long), it: Iterator[(Long, Long, String, Int, Array[Byte])]) =>
-        val (qid, docId) = key
-        val posByTerm = it.map { case (_, _, t, n, bytes) =>
-          t -> Codec.decodeDeltas(bytes, n)
-        }.toMap
-        val terms = seqB.value(qid)
-        val ok = terms.forall(posByTerm.contains) && {
-          val first = posByTerm(terms.head)
-          first.exists { p =>
-            var i = 1
-            var good = true
-            while (good && i < terms.length) {
-              good = java.util.Arrays.binarySearch(posByTerm(terms(i)), p + i) >= 0
-              i += 1
-            }
-            good
-          }
-        }
-        (qid, docId, ok)
-      }
-      .filter(_._3)
-      .map(r => (r._1, r._2))
-      .toDF("query_id", "doc_id")
+    val verified = occurrenceRows(spark, live, candidates, positions)
+      .select("query_id", "doc_id").distinct()
 
     // BM25 score the verified docs over the phrase's distinct terms
     val qt = live.keys.toSeq.flatMap { qid =>
@@ -143,5 +116,89 @@ object Phrase {
         hits.zipWithIndex.map { case (s, i) => (qid, i + 1, s.doc_id, s.score) }
       }
       .toDF("query_id", "rank", "doc_id", "score")
+  }
+
+  /** Every phrase occurrence as (query_id, doc_id, pos) — pos is the
+    * 0-based TOKEN index where the phrase starts, the token-domain form
+    * of the reference's per-match `(v:…,o:…)` decode
+    * (/root/reference/src/gin_gin.c:817-885). `maxMatches` keeps the
+    * smallest (doc_id, pos) pairs per query (deterministic --max-matches
+    * analog) through a bounded aggregator. */
+  def findOccurrences(spark: SparkSession, indexDir: String,
+                      phrases: Seq[Searcher.Query],
+                      maxMatches: Long = Long.MaxValue): DataFrame = {
+    import spark.implicits._
+    require(graft.util.Fs.exists(spark, s"$indexDir/_COMMIT_positions"),
+      s"index at $indexDir was built without storePositions=true")
+    val handle = IndexHandle.open(spark, indexDir)
+    val seqPerQuery: Map[Long, Seq[String]] =
+      phrases.map(q => q.query_id -> Tokenizer.tokens(q.text).toSeq).toMap
+    val distinctPerQuery = seqPerQuery.map { case (q, ts) => q -> ts.distinct }
+    val allTerms = distinctPerQuery.values.flatten.toSeq.distinct
+    val dict = handle.dfOf(allTerms)
+    val live = seqPerQuery.filter { case (_, ts) =>
+      ts.nonEmpty && ts.forall(dict.contains)
+    }
+    val emptyOut = Seq.empty[(Long, Long, Long)]
+      .toDF("query_id", "doc_id", "pos")
+    if (live.isEmpty) return emptyOut
+    val candidates = Searcher.searchCandidates(spark, indexDir,
+      phrases.filter(q => live.contains(q.query_id)))
+    val liveTerms = live.keys.flatMap(distinctPerQuery).toSeq.distinct
+    val positions = spark.read.parquet(s"$indexDir/positions")
+      .filter(col("bucket").isin(
+        liveTerms.map(t => graft.util.Hashing.bucketOf(t, handle.nBuckets))
+          .distinct: _*)
+        && col("term").isin(liveTerms: _*))
+      .select("term", "doc_id", "n_pos", "pos_deltas")
+    val occ = occurrenceRows(spark, live, candidates, positions)
+    if (maxMatches >= Int.MaxValue) occ
+    else {
+      val agg = new MinKPairAgg(maxMatches.toInt)
+      occ.as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(agg.toColumn.name("hits"))
+        .flatMap { case (qid, hits) =>
+          hits.map { case (did, p) => (qid, did, p) }
+        }
+        .toDF("query_id", "doc_id", "pos")
+    }
+  }
+
+  /** Adjacency evaluation shared by verification (searchTopK, which only
+    * needs the distinct matched docs) and the full occurrence decode:
+    * per (query, candidate doc), the positions of each phrase term are
+    * decoded and every start p with term_i at p+i for all i is emitted
+    * as (query_id, doc_id, p). One mapGroups over the positions join —
+    * the per-doc work is |positions of the rarest term| binary searches. */
+  private def occurrenceRows(spark: SparkSession,
+      live: Map[Long, Seq[String]], candidates: DataFrame,
+      positions: DataFrame): DataFrame = {
+    import spark.implicits._
+    val seqB = spark.sparkContext.broadcast(live)
+    candidates
+      .join(positions.hint("shuffle_hash"), "doc_id")
+      .select($"query_id", $"doc_id", $"term", $"n_pos", $"pos_deltas")
+      .as[(Long, Long, String, Int, Array[Byte])]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Long, Long), it: Iterator[(Long, Long, String, Int, Array[Byte])]) =>
+        val (qid, docId) = key
+        val posByTerm = it.map { case (_, _, t, n, bytes) =>
+          t -> Codec.decodeDeltas(bytes, n)
+        }.toMap
+        val terms = seqB.value(qid)
+        if (!terms.forall(posByTerm.contains)) Iterator.empty
+        else posByTerm(terms.head).iterator.filter { p =>
+          var i = 1
+          var good = true
+          while (good && i < terms.length) {
+            good = java.util.Arrays.binarySearch(posByTerm(terms(i)), p + i) >= 0
+            i += 1
+          }
+          good
+        }.map(p => (qid, docId, p))
+      }
+      .toDF("query_id", "doc_id", "pos")
   }
 }

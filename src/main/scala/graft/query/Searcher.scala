@@ -44,6 +44,14 @@ object Searcher {
     * plan instead of the driver-local WAND loop. */
   val WandDfCap = 5000000L
 
+  /** Batch size at/above which searchTopK evaluates WAND on executors
+    * (searchTopKWandExecutors) instead of the driver thread pool: big
+    * batches are throughput work that should scale with the cluster
+    * (and measure faster even on one host — BENCH wand_exec leg), while
+    * small batches stay on the driver for latency (no job scheduling,
+    * head-cache hits). */
+  val ExecBatchThreshold = 256
+
   /** Per-query work counters from the last WAND invocation — the
     * reference's per-query stats (gin.c:1118-1151). Keyed by query_id. */
   val lastStats = new java.util.concurrent.ConcurrentHashMap[Long, Wand.QueryStats]()
@@ -65,10 +73,12 @@ object Searcher {
     val handle = IndexHandle.open(spark, indexDir, nBuckets)
     val allTerms = queries.flatMap(q => Tokenizer.tokens(q.text)).distinct
     val dfSum = handle.dfOf(allTerms).values.sum
-    if (dfSum <= WandDfCap)
-      searchTopKWand(spark, indexDir, queries, k, mode, nBuckets)
-    else
+    if (dfSum > WandDfCap)
       searchTopKRelational(spark, indexDir, queries, k, mode, nBuckets)
+    else if (queries.size >= ExecBatchThreshold)
+      searchTopKWandExecutors(spark, indexDir, queries, k, mode, nBuckets)
+    else
+      searchTopKWand(spark, indexDir, queries, k, mode, nBuckets)
   }
 
   /** Driver-local exact BMW path (see Wand). Blocks for the query's

@@ -206,6 +206,18 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("kgramOrigins == per-doc sliding-window counts") {
+    import spark.implicits._
+    val got = Dedup.kgramOrigins(docs, 3)
+      .as[(String, Long, Long)].collect().toSet
+    val want = docs.as[(Long, String)].collect().flatMap { case (id, t) =>
+      Tokenizer.tokens(t).toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSeq
+        .groupBy(identity).map { case (g, xs) => (g, id, xs.size.toLong) }
+    }.toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("connectedComponents: chains, separate clusters, singletons") {
     import spark.implicits._
     val n = 30L

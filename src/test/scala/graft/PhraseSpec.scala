@@ -58,6 +58,39 @@ class PhraseSpec extends SparkTestBase {
     assert(single == phraseSingle)
   }
 
+  test("findOccurrences == sliding-window positions; maxMatches keeps smallest") {
+    import spark.implicits._
+    val t50 = Tokenizer.tokens(Synth.doc(9L, 50L).content)
+    val phrases = Seq(
+      Searcher.Query(1, s"${t50(3)} ${t50(4)}"),
+      Searcher.Query(2, t50(10)),                 // single-term phrase
+      Searcher.Query(3, s"${t50(0)} zz_nonexistent"))
+    val got = Phrase.findOccurrences(spark, indexDir, phrases)
+      .as[(Long, Long, Long)].collect().toSet
+    val docs = Builder.withDocIds(corpus)
+      .select($"doc_id", $"content").as[(Long, String)].collect()
+    val want = (for {
+      q <- phrases
+      pts = Tokenizer.tokens(q.text).toSeq
+      if pts.nonEmpty
+      (docId, c) <- docs
+      ts = Tokenizer.tokens(c).toSeq
+      if ts.length >= pts.length
+      p <- 0 to (ts.length - pts.length)
+      if ts.slice(p, p + pts.length) == pts
+    } yield (q.query_id, docId, p.toLong)).toSet
+    assert(got == want && got.nonEmpty)
+    assert(!got.exists(_._1 == 3L))
+    // cap keeps the smallest (doc_id, pos) pairs per query
+    val capped = Phrase.findOccurrences(spark, indexDir, phrases,
+        maxMatches = 4L)
+      .as[(Long, Long, Long)].collect()
+    val wantCapped = want.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.toSeq.sortBy(r => (r._2, r._3)).take(4)
+    }.toSet
+    assert(capped.toSet == wantCapped)
+  }
+
   test("maxCandidates budget caps the verification set deterministically") {
     import spark.implicits._
     // a phrase of two COMMON terms: many conjunctive candidates
