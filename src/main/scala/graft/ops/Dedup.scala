@@ -235,13 +235,21 @@ object Dedup {
   def connectedComponents(docs: DataFrame, pairs: DataFrame,
                           maxIter: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    val spark = docs.sparkSession
+    // lineage truncation per round: RELIABLE checkpoint when the session
+    // has a checkpoint dir (survives executor loss — required on a real
+    // cluster where an iteration-20 recompute cascade would be fatal),
+    // localCheckpoint otherwise (single-host dev/test)
+    def truncate(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"),
         col("doc_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = docs.select(col("doc_id"),
-      col("doc_id").cast("long").as("cluster_rep")).localCheckpoint()
+    var labels = truncate(docs.select(col("doc_id"),
+      col("doc_id").cast("long").as("cluster_rep")))
     var prevSum = labels.agg(sum("cluster_rep")).head().getLong(0)
     var iter = 0
     var converged = false
@@ -249,12 +257,11 @@ object Dedup {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src"))
         .agg(min("cluster_rep").as("nbr_rep"))
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"),
-          "left")
+      val next = truncate(labels.join(nbrMin,
+          labels("doc_id") === nbrMin("src"), "left")
         .select(labels("doc_id"),
           least(col("cluster_rep"),
-            coalesce(col("nbr_rep"), col("cluster_rep"))).as("cluster_rep"))
-        .localCheckpoint()
+            coalesce(col("nbr_rep"), col("cluster_rep"))).as("cluster_rep")))
       val s = next.agg(sum("cluster_rep")).head().getLong(0)
       converged = s == prevSum
       prevSum = s

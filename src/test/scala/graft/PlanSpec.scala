@@ -106,6 +106,37 @@ class PlanSpec extends SparkTestBase {
     h.close()
   }
 
+  test("executor WAND: blocks join the query table broadcast, no sort-merge") {
+    val df = Searcher.searchTopKWandExecutors(spark, indexDir,
+      Seq(Searcher.Query(1, "id_0 id_3"), Searcher.Query(2, "id_1")), 5,
+      Searcher.And, 8)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the query-term table is broadcast onto the block scan; the only
+    // wide exchange is the groupByKey(query_id) shuffle of matched blocks
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("substring/offsets trigram probe pushes gram + bucket filters to parquet") {
+    val d = tmpDir("plan-tri")
+    Builder.build(spark, Synth.corpus(spark, 100, seed = 6L), d,
+      Builder.Config(blockSize = 16, nBuckets = 8, nSegments = 1,
+        saltTarget = 60, storeTrigrams = true))
+    val sample = Synth.doc(6L, 3L).content
+    val df = graft.query.Substring.findOffsets(spark, d,
+      Seq(1L -> sample.substring(0, 12)), nBuckets = 8)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // gram membership reaches the parquet scan; bucket is a partition
+    // (directory) filter — the probe reads only the grams' row groups
+    assert(plan.contains("PushedFilters") && plan.contains("In(gram"),
+      s"gram filter not pushed:\n$plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"bucket partition pruning missing:\n$plan")
+  }
+
   test("relational scorer: codegen'd hash aggregation + broadcast joins") {
     val df = Searcher.searchTopKRelational(spark, indexDir,
       Seq(Searcher.Query(1, "id_0 id_3")), 5)
