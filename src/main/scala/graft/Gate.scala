@@ -50,6 +50,8 @@ object Gate {
   val NdMaxBucket = 1000L     //   more members than this (|bucket|² guard)
   val OffsetsMaxMatches = 200L // --max-matches cap for the full offset
                                //   decode gate (smallest (doc, offset))
+  val IvfCentroids = 16       // IVF coarse cells (deterministic seed set)
+  val IvfProbe = 4            // cells probed per query
 
   private def H60(e: String): String = graft.util.CrossHash.h60Sql(e)
 
@@ -319,6 +321,14 @@ object Gate {
     Ann.lshTopK(e.filter(col("vec_id") < 20), e, k = 5,
         nPlanes = LshPlanes, nTables = LshTables, dims = LshDims,
         maxBucket = AnnMaxBucket)
+      .select(col("query_id").cast("long"), col("rank").cast("long"),
+        col("neighbor_id").cast("long"), col("cos"))
+  }
+
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Ann.ivfTopK(e.filter(col("vec_id") < 20), e, k = 5,
+        nCentroids = IvfCentroids, nProbe = IvfProbe, dims = LshDims)
       .select(col("query_id").cast("long"), col("rank").cast("long"),
         col("neighbor_id").cast("long"), col("cos"))
   }
@@ -672,6 +682,49 @@ object Gate {
         FROM cosv)
       SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5""",
 
+    // IVF: cell assignment by exact BIGINT dot over quantized components
+    // (ties -> lowest centroid id) — bit-identical partition to the
+    // engine; exact cosine re-rank over probed cells only
+    "q_ann_ivf" -> s"""
+      WITH eq AS (SELECT vec_id, unnest(range(len(embedding))) AS d,
+                    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                         AS BIGINT) AS e
+                  FROM embeddings),
+      cent AS (SELECT vec_id AS cid, d, e FROM eq WHERE vec_id < $IvfCentroids),
+      adots AS (SELECT eq.vec_id, c.cid, sum(eq.e * c.e) AS s
+                FROM eq JOIN cent c ON c.d = eq.d GROUP BY 1, 2),
+      cell AS (SELECT vec_id AS neighbor_id, cid FROM adots
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                 ORDER BY s DESC, cid) = 1),
+      probes AS (SELECT vec_id AS query_id, cid FROM adots
+                 WHERE vec_id < 20
+                 QUALIFY row_number() OVER (PARTITION BY vec_id
+                   ORDER BY s DESC, cid) <= $IvfProbe),
+      cand AS (SELECT DISTINCT p.query_id, a.neighbor_id
+               FROM probes p JOIN cell a ON a.cid = p.cid
+               WHERE a.neighbor_id <> p.query_id),
+      ex AS (SELECT vec_id, unnest(range(len(embedding))) AS pos,
+                    CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+      norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+      dots AS (
+        SELECT cd.query_id, cd.neighbor_id, sum(a.v * b.v) AS dot
+        FROM cand cd
+        JOIN ex a ON a.vec_id = cd.query_id
+        JOIN ex b ON b.vec_id = cd.neighbor_id AND b.pos = a.pos
+        GROUP BY 1, 2),
+      cosv AS (
+        SELECT d.query_id, d.neighbor_id,
+               round(d.dot / (na.nrm * nb.nrm), 6) AS cos
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.query_id
+        JOIN norms nb ON nb.vec_id = d.neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS rank
+        FROM cosv)
+      SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5""",
+
     "q_cosine_neardup" -> s"""
       WITH ${lshCtes(NdPlanes, NdTables)},
       okb AS (SELECT t, bucket FROM buck GROUP BY t, bucket
@@ -881,6 +934,7 @@ object Gate {
     "q_fingerprint" -> (qFingerprint _),
     "q_ann_cosine" -> (qAnnCosine _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_ivf" -> (qAnnIvf _),
     "q_cosine_neardup" -> (qCosineNearDup _),
     "q_spectrum_k3" -> (qSpectrumK3 _),
     "q_spectrum_origins" -> (qSpectrumOrigins _),

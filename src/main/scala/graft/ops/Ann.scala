@@ -180,6 +180,74 @@ object Ann {
     rankTopK(scored, k)
   }
 
+  /** IVF-flat approximate top-k — the inverted-file scale path
+    * complementing hyperplane LSH: the corpus is coarse-quantized into
+    * `nCentroids` cells and each query probes only its `nProbe` best
+    * cells, so per-query candidate volume is ~nProbe·n/nCentroids
+    * instead of n. The centroid set is the vectors with the nCentroids
+    * smallest vec_ids (a deterministic seed choice — the k-means-free
+    * IVF variant; a trained quantizer can replace it without changing
+    * the plan shape). Cell assignment compares EXACT integer dot
+    * products over floor(v·1e6)-quantized components (ties → lowest
+    * centroid id), so the partition is bit-identical in Spark and the
+    * DuckDB oracle; the final ranking is exact cosine over the probed
+    * cells' members only.
+    *
+    * Scale shape: one broadcast of nCentroids quantized vectors, one
+    * map over the corpus for assignment (no shuffle), one shuffle join
+    * of probes × cell members — the corpus is never pair-joined with
+    * itself. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              dims: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Array[Long])] = corpus
+      .filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").cast("long"), quantized(col("embedding")))
+      .as[(Long, Seq[Long])].collect()
+      .map { case (id, e) => (id, e.toArray) }
+      .sortBy(_._1)
+    val centB = spark.sparkContext.broadcast(cents)
+    // best `take` cells per vector by exact integer dot (desc, id asc)
+    def cellsOf(vecs: DataFrame, take: Int): DataFrame = vecs
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .flatMap { case (id, emb) =>
+        val cs = centB.value
+        val n = math.min(dims, emb.length)
+        val e = new Array[Long](n)
+        var d = 0
+        while (d < n) { e(d) = math.floor(emb(d).toDouble * 1000000.0).toLong; d += 1 }
+        val dots = cs.map { case (cid, ce) =>
+          var s = 0L
+          var i = 0
+          val m = math.min(n, ce.length)
+          while (i < m) { s += e(i) * ce(i); i += 1 }
+          (cid, s)
+        }
+        dots.sortBy { case (cid, s) => (-s, cid) }.take(take)
+          .map { case (cid, _) => (id, cid) }
+      }
+      .toDF("vec_id", "cell")
+    val assign = cellsOf(corpus, 1)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val probes = cellsOf(queries, nProbe)
+      .withColumnRenamed("vec_id", "query_id")
+    val cand = probes.join(assign, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val scored = cand
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), "query_id")
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_emb"), col("c_emb")), 6).as("cos"))
+    rankTopK(scored, k)
+  }
+
   /** Distinct same-bucket id pairs (doc_a < doc_b) across the L hash
     * tables, with the maxBucket cap applied BEFORE the self-join — the
     * candidate stage of cosineNearDupPairs, exposed so tests can assert

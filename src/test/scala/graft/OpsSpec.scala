@@ -206,6 +206,29 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("IVF top-k: probed-cell candidates, high recall on clustered data, no cartesian") {
+    import spark.implicits._
+    val emb = clusteredEmb(200, 16, 12)
+    val queries = emb.filter(col("vec_id") < 20)
+    val bf = Ann.bruteForceTopK(queries, emb, 5)
+      .as[(Long, Int, Long, Double)].collect()
+    val bfTop = bf.map(r => (r._1, r._3)).toSet
+    val bfCos = bf.map(r => ((r._1, r._3), r._4)).toMap
+    val ivf = Ann.ivfTopK(queries, emb, 5, nCentroids = 12, nProbe = 4,
+        dims = 16)
+      .as[(Long, Int, Long, Double)].collect()
+    // cosines agree exactly wherever IVF returns a brute-force pair
+    ivf.foreach { case (q, _, nb, c) =>
+      bfCos.get((q, nb)).foreach(v => assert(math.abs(v - c) <= 1e-9))
+    }
+    val recall = (bfTop & ivf.map(r => (r._1, r._3)).toSet).size.toDouble /
+      bfTop.size
+    assert(recall >= 0.8, s"IVF recall $recall") // clustered regime
+    val plan = Ann.ivfTopK(queries, emb, 5, 12, 4, 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("kgramOrigins == per-doc sliding-window counts") {
     import spark.implicits._
     val got = Dedup.kgramOrigins(docs, 3)

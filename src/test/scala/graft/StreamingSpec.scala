@@ -309,4 +309,36 @@ class StreamingSpec extends SparkTestBase {
     assert(!graft.util.Fs.exists(spark, s"$dir/dict_deltas"))
     assert(!graft.util.Fs.exists(spark, s"$dir/dictionary_predelta"))
   }
+
+  test("foldDictionary refuses while a batch is unfinished; retry unblocks it") {
+    import spark.implicits._
+    val dir = tmpDir("stream-fold-guard")
+    val conf = Builder.Config(blockSize = 16, nBuckets = 4, nSegments = 1,
+      saltTarget = 40)
+    IncrementalIndexer.ingestBatch(spark,
+      (0L until 20L).map(i => Synth.doc(8L, i)).toDF(), dir, conf, 0L)
+    val doc = graft.index.CodeDoc("zr", "zfold.txt", "c1", "x",
+      "zz_fold_guard_term beta")
+    IncrementalIndexer.ingestBatch(spark, Seq(doc).toDF(), dir, conf, 1L)
+    assert(graft.util.Fs.exists(spark, s"$dir/dict_deltas"))
+    // simulate a crash mid-batch-2: delta promoted, commit marker absent
+    graft.util.Fs.write(spark, s"$dir/_BASE_b2", "21")
+    graft.streaming.Compactor.foldDictionary(spark, dir, 4, 8)
+    // REFUSED: the delta must survive untouched (folding it now would
+    // double-count when the stream retries batch 2's delta promote)
+    assert(graft.util.Fs.exists(spark, s"$dir/dict_deltas"),
+      "fold ran despite an unfinished batch marker")
+    // retry path A: the batch turns out to be committed (marker written,
+    // _BASE left behind by a crash) -> the early-return cleans _BASE up
+    graft.util.Fs.write(spark, s"$dir/_COMMIT_stream_batch_2", "{}")
+    IncrementalIndexer.ingestBatch(spark, Seq(doc).toDF(), dir, conf, 2L)
+    assert(!graft.util.Fs.exists(spark, s"$dir/_BASE_b2"))
+    // now the fold proceeds and the merged dictionary stays correct
+    graft.streaming.Compactor.foldDictionary(spark, dir, 4, 8)
+    assert(!graft.util.Fs.exists(spark, s"$dir/dict_deltas"))
+    val df = Builder.dictionary(spark, dir)
+      .filter(col("term") === "zz_fold_guard_term")
+      .select("df").as[Long].collect()
+    assert(df.toSeq == Seq(1L))
+  }
 }
