@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import graft.index.{Codec, Tokenizer}
-import graft.query.{Scored, TopKAgg, Searcher}
+import graft.query.{MinKLongAgg, MinKPairAgg, Scored, TopKAgg, Searcher}
 
 /** Deterministic property harness over scalacheck Gen (scalatestplus is
   * not in the offline cache; seeds fixed for reproducibility). */
@@ -130,6 +130,41 @@ class CoreSpec extends AnyFunSuite with PropHelpers {
       assert(direct == want)
       // arbitrary splits then merge (partial+final)
       val splits = if (xs.isEmpty) Seq(xs) else xs.grouped(math.max(1, xs.size / (nSplits + 1))).toSeq
+      val merged = splits.map(_.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) == want)
+    }
+  }
+
+  test("MinKLongAgg / MinKPairAgg equal sorted.take(k) under any partitioning") {
+    val genLong = for {
+      xs <- Gen.listOf(Gen.chooseNum(0L, 100L))
+      k <- Gen.chooseNum(1, 8)
+      cut <- Gen.chooseNum(0, 5)
+    } yield (xs, k, cut)
+    forAll(genLong) { case (xs, k, nSplits) =>
+      val agg = new MinKLongAgg(k)
+      val want = xs.sorted.take(k)
+      assert(agg.finish(xs.foldLeft(agg.zero)(agg.reduce)) == want)
+      val splits = if (xs.isEmpty) Seq(xs)
+        else xs.grouped(math.max(1, xs.size / (nSplits + 1))).toSeq
+      val merged = splits.map(_.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) == want)
+    }
+    val genPair = for {
+      xs <- Gen.listOf(for {
+        a <- Gen.chooseNum(0L, 20L); b <- Gen.chooseNum(0L, 20L)
+      } yield (a, b))
+      k <- Gen.chooseNum(1, 8)
+      cut <- Gen.chooseNum(0, 5)
+    } yield (xs, k, cut)
+    forAll(genPair) { case (xs, k, nSplits) =>
+      val agg = new MinKPairAgg(k)
+      val want = xs.sorted.take(k)
+      assert(agg.finish(xs.foldLeft(agg.zero)(agg.reduce)) == want)
+      val splits = if (xs.isEmpty) Seq(xs)
+        else xs.grouped(math.max(1, xs.size / (nSplits + 1))).toSeq
       val merged = splits.map(_.foldLeft(agg.zero)(agg.reduce))
         .foldLeft(agg.zero)(agg.merge)
       assert(agg.finish(merged) == want)
