@@ -14,12 +14,17 @@ import graft.query.{HeadCache, Phrase, Searcher, Substring}
   * spark-submit --class graft.Cli app.jar index \
   *   --input /data/corpus.parquet --format parquet --out /idx \
   *   [--positions] [--trigrams] [--buckets 32] [--segments 4] \
-  *   [--salt-target 50000] [--block-size 128]
+  *   [--salt-target 50000] [--block-size 128] \
+  *   [--permutation /perm.parquet]   # (repo,path,commit,ord) docID order,
+  *                                   # the `gin permutation` input analog
   * spark-submit --class graft.Cli app.jar query \
   *   --index /idx --queries q.txt --k 10 [--mode and|or] [--resolve] \
   *   [--out /results]
   * spark-submit --class graft.Cli app.jar count|phrase|substring \
   *   --index /idx --queries q.txt [--out /results]
+  * spark-submit --class graft.Cli app.jar decode \
+  *   --index /idx --queries q.txt [--what substring|phrase] \
+  *   [--max-matches 1000] [--out /results]   # every (doc, offset)
   * spark-submit --class graft.Cli app.jar cache \
   *   --index /idx --min-df 1000 --k 10 [--pair-terms 64] [--triple-terms 24]
   * spark-submit --class graft.Cli app.jar compact --index /idx
@@ -80,13 +85,21 @@ object Cli {
 
     args(0) match {
       case "index" =>
-        val corpus = o.getOrElse("format", "parquet") match {
+        val corpus0 = o.getOrElse("format", "parquet") match {
           case "jsonl" => Corpus.fromJsonl(spark, o("input"))
           case "documents" => Corpus.fromDocuments(spark, o("input"))
           case _ => spark.read.parquet(o("input"))
             .select("repo", "path", "commit", "lang", "content")
         }
-        Builder.build(spark, corpus, o("out"), conf)
+        // user-measured docID ordering (S4): rank table joined in, ids
+        // assigned by (ord, identity) — see Builder.withPermutation
+        val (corpus, conf2) = o.get("permutation") match {
+          case Some(p) =>
+            (Builder.withPermutation(corpus0, spark.read.parquet(p)),
+              conf.copy(orderCols = Seq("ord", "repo", "path", "commit")))
+          case None => (corpus0, conf)
+        }
+        Builder.build(spark, corpus, o("out"), conf2)
         None
       case "query" =>
         val topk = Searcher.searchTopK(spark, index, qs, k, mode, nBuckets)
@@ -102,6 +115,16 @@ object Cli {
           maxMatches = o.get("max-matches").map(_.toLong)
             .getOrElse(Long.MaxValue),
           allowShortScan = flag(args, "allow-short")))
+      case "decode" =>
+        // full match decode (the reference's `-d`/--decode output): every
+        // (doc, offset) per query under --max-matches
+        val cap = o.get("max-matches").map(_.toLong).getOrElse(Long.MaxValue)
+        Some(o.getOrElse("what", "substring") match {
+          case "phrase" => Phrase.findOccurrences(spark, index, qs, cap)
+          case _ => Substring.findOffsets(spark, index,
+            qs.map(q => q.query_id -> q.text), nBuckets, cap,
+            allowShortScan = flag(args, "allow-short"))
+        })
       case "cache" =>
         HeadCache.build(spark, index, o.getOrElse("min-df", "1000").toLong, k)
         o.get("pair-terms").foreach(n =>

@@ -52,5 +52,36 @@ class CliSpec extends SparkTestBase {
     Cli.run(spark, Array("cache", "--index", idx, "--min-df", "50",
       "--k", "5", "--buckets", "8"))
     assert(graft.util.Fs.exists(spark, s"$idx/_COMMIT_head_cache"))
+
+    // full match decode: substring offsets and phrase token positions
+    val dec = Cli.run(spark, Array("decode", "--index", idx,
+      "--queries", qf.toString, "--buckets", "8",
+      "--max-matches", "7")).get.collect()
+    assert(dec.nonEmpty)
+    assert(dec.groupBy(_.getLong(0)).values.forall(_.length <= 7))
+    val decPh = Cli.run(spark, Array("decode", "--index", idx,
+      "--queries", qf.toString, "--what", "phrase", "--buckets", "8")).get
+    assert(decPh.columns.toSeq == Seq("query_id", "doc_id", "pos"))
+  }
+
+  test("cli: index --permutation reorders doc ids") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val src = tmpDir("cli-perm-src")
+    Corpus.write(Synth.corpus(spark, 40, seed = 22L), src)
+    // reverse permutation table (repo, path, commit, ord)
+    val perm = graft.index.Builder
+      .withDocIds(spark.read.parquet(src)
+        .select("repo", "path", "commit", "lang", "content"))
+      .select(col("repo"), col("path"), col("commit"),
+        (lit(39L) - col("doc_id")).as("ord"))
+    val permDir = tmpDir("cli-perm")
+    perm.write.mode("overwrite").parquet(permDir)
+    val idx = tmpDir("cli-perm-idx") + "/index"
+    Cli.run(spark, Array("index", "--input", src, "--out", idx,
+      "--buckets", "4", "--segments", "1", "--salt-target", "60",
+      "--permutation", permDir))
+    assert(graft.index.Builder.loadConfig(spark, idx).get.orderCols ==
+      Seq("ord", "repo", "path", "commit"))
   }
 }
