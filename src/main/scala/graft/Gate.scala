@@ -52,6 +52,11 @@ object Gate {
                                //   decode gate (smallest (doc, offset))
   val IvfCentroids = 16       // IVF coarse cells (deterministic seed set)
   val IvfProbe = 4            // cells probed per query
+  val SnippetCtx = 20         // chars of context on each side of a match
+  val CleanMinTokens = 20L    // clean-corpus quality gate (tighter than
+  val CleanMaxTokens = 100000L//   TextOps.quality so the reason fires on
+                              //   the gate corpus)
+  val CleanKeepLangs = Seq("en")
 
   private def H60(e: String): String = graft.util.CrossHash.h60Sql(e)
 
@@ -61,6 +66,41 @@ object Gate {
       |         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
       |           x -> x <> '') AS t
       |       FROM documents)""".stripMargin
+
+  /** Shared near-dup cluster CTE chain (DuckDB, must follow a
+    * WITH RECURSIVE): k=3 shingles with the df cap, jaccard >= 0.5
+    * pairs, and the `reach` closure whose min is the cluster rep. Used
+    * by q_dedup_clusters and q_clean_corpus (identical constants). */
+  private lazy val ClusterCtes = s"""tl AS (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                 x -> x <> '') AS t
+             FROM documents),
+      sh0 AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(len(t) - 2),
+                 p -> t[p + 1] || ' ' || t[p + 2] || ' ' || t[p + 3])) AS shingle
+        FROM tl WHERE len(t) >= 3),
+      okset AS (SELECT shingle FROM sh0 GROUP BY shingle
+                HAVING count(*) <= $MaxShingleDf),
+      sh AS (SELECT sh0.* FROM sh0 JOIN okset USING (shingle)),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      com AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pr AS (
+        SELECT c.doc_a, c.doc_b
+        FROM com c
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+        WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common)
+              >= 0.5),
+      edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+                UNION ALL SELECT doc_b, doc_a FROM pr),
+      reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.s, reach.r FROM edges e JOIN reach ON reach.doc_id = e.d)"""
 
   /** Minhash affine coefficients as SQL VALUES — generated from the SAME
     * CrossHash.minhashCoeff the Spark Aggregator uses. */
@@ -283,6 +323,15 @@ object Gate {
       .select(col("doc_id").cast("long"), col("cluster_rep").cast("long"))
   }
 
+  /** Composite clean-corpus verdict (quality > lang > exact_dup >
+    * near_dup > keep), same dedup constants as q_dedup_clusters. */
+  def qCleanCorpus(s: SparkSession, dir: String): DataFrame =
+    ops.Pipeline.cleanCorpus(docs(s, dir), keepLangs = CleanKeepLangs,
+        minTokens = CleanMinTokens, maxTokens = CleanMaxTokens,
+        shingleK = 3, minJaccard = 0.5, maxShingleDf = MaxShingleDf)
+      .select(col("doc_id").cast("long"), col("n_tokens").cast("long"),
+        col("lang_pred"), col("keep"), col("drop_reason"))
+
   def qMinhashCandidates(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidates(docs(s, dir), k = 3, nHashes = MinhashN,
         bands = MinhashBands, maxBucket = MinhashMaxBucket)
@@ -374,6 +423,15 @@ object Gate {
         allowShortScan = true)
       .select(col("query_id").cast("long"), col("doc_id").cast("long"),
         col("offset").cast("long"))
+
+  /** Snippets: the capped offset decode joined back to content with a
+    * SnippetCtx-char window on each side. */
+  def qSnippets(s: SparkSession, dir: String): DataFrame =
+    graft.query.Substring.snippets(s, indexDir(s, dir), GateSubstrings,
+        ctx = SnippetCtx, nBuckets = gateConfig.nBuckets,
+        maxMatches = OffsetsMaxMatches, allowShortScan = true)
+      .select(col("query_id").cast("long"), col("doc_id").cast("long"),
+        col("offset").cast("long"), col("snippet"))
 
   def qEventsWindow(s: SparkSession, dir: String): DataFrame =
     ops.Events.windowedTypeCounts(events(s, dir), "6 hours")
@@ -527,37 +585,46 @@ object Gate {
     // min(r) per doc = the cluster representative (UNION dedups rows, so
     // the recursion terminates at the transitive closure)
     "q_dedup_clusters" -> s"""
-      WITH RECURSIVE tl AS (SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
-                 x -> x <> '') AS t
-             FROM documents),
-      sh0 AS (
-        SELECT DISTINCT doc_id,
-               unnest(list_transform(range(len(t) - 2),
-                 p -> t[p + 1] || ' ' || t[p + 2] || ' ' || t[p + 3])) AS shingle
-        FROM tl WHERE len(t) >= 3),
-      okset AS (SELECT shingle FROM sh0 GROUP BY shingle
-                HAVING count(*) <= $MaxShingleDf),
-      sh AS (SELECT sh0.* FROM sh0 JOIN okset USING (shingle)),
-      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-      com AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2),
-      pr AS (
-        SELECT c.doc_a, c.doc_b
-        FROM com c
-        JOIN sizes sa ON sa.doc_id = c.doc_a
-        JOIN sizes sb ON sb.doc_id = c.doc_b
-        WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common)
-              >= 0.5),
-      edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
-                UNION ALL SELECT doc_b, doc_a FROM pr),
-      reach(doc_id, r) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT e.s, reach.r FROM edges e JOIN reach ON reach.doc_id = e.d)
+      WITH RECURSIVE $ClusterCtes
       SELECT doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1""",
+
+    // composite clean-corpus verdict: every signal computed over the FULL
+    // corpus (same constants as the standalone gates), fixed precedence
+    "q_clean_corpus" -> s"""
+      WITH RECURSIVE $ClusterCtes,
+      cc AS (SELECT doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1),
+      v AS (
+        SELECT doc_id, len(t) AS n_tokens,
+          len(list_filter(t, x -> x IN ('the','and','of','is'))) AS en,
+          len(list_filter(t, x -> x IN ('le','la','et','les'))) AS fr,
+          len(list_filter(t, x -> x IN ('der','die','und','das'))) AS de,
+          len(list_filter(t, x -> x IN ('el','los','que','y'))) AS es
+        FROM tl),
+      lang AS (
+        SELECT doc_id, n_tokens,
+          CASE WHEN en >= fr AND en >= de AND en >= es AND en > 0 THEN 'en'
+               WHEN fr >= de AND fr >= es AND fr > 0 THEN 'fr'
+               WHEN de >= es AND de > 0 THEN 'de'
+               WHEN es > 0 THEN 'es'
+               ELSE 'unknown' END AS lang_pred
+        FROM v),
+      exg AS (SELECT sha256(text) AS h, min(doc_id) AS exact_rep
+              FROM documents GROUP BY 1),
+      exf AS (SELECT d.doc_id, e.exact_rep
+              FROM documents d JOIN exg e ON sha256(d.text) = e.h),
+      verdict AS (
+        SELECT l.doc_id, l.n_tokens, l.lang_pred,
+          CASE WHEN l.n_tokens < $CleanMinTokens
+                 OR l.n_tokens > $CleanMaxTokens THEN 'quality'
+               WHEN l.lang_pred NOT IN (${CleanKeepLangs
+                 .map(l => s"'$l'").mkString(", ")}) THEN 'lang'
+               WHEN l.doc_id <> x.exact_rep THEN 'exact_dup'
+               WHEN l.doc_id <> c.cluster_rep THEN 'near_dup'
+               ELSE 'keep' END AS drop_reason
+        FROM lang l JOIN exf x USING (doc_id) JOIN cc c USING (doc_id))
+      SELECT doc_id, n_tokens, lang_pred,
+             drop_reason = 'keep' AS keep, drop_reason
+      FROM verdict""",
 
     "q_langid" -> """
       WITH tl AS (SELECT doc_id,
@@ -827,6 +894,34 @@ object Gate {
       SELECT query_id, doc_id, "offset" FROM rankedo
       WHERE rn <= $OffsetsMaxMatches""",
 
+    // capped offset decode + context window, exact substring arithmetic
+    "q_snippets" -> s"""$Prelude,
+      sp(query_id, pat) AS (VALUES $SpValuesSql),
+      occ AS (
+        SELECT sp.query_id, i.doc_id,
+               CAST(unnest(list_filter(
+                      range(length(i.content) - length(sp.pat) + 1),
+                      p -> substr(i.content, CAST(p AS INTEGER) + 1,
+                                  length(sp.pat)) = sp.pat)) AS BIGINT)
+                 AS "offset"
+        FROM sp JOIN ids i ON contains(i.content, sp.pat)),
+      rankedo AS (
+        SELECT query_id, doc_id, "offset",
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY doc_id, "offset") AS rn
+        FROM occ),
+      capped AS (SELECT query_id, doc_id, "offset" FROM rankedo
+                 WHERE rn <= $OffsetsMaxMatches)
+      SELECT c.query_id, c.doc_id, c."offset",
+             substr(i.content,
+                    greatest(c."offset" - $SnippetCtx, 0) + 1,
+                    least(c."offset" + length(sp.pat) + $SnippetCtx,
+                          length(i.content))
+                      - greatest(c."offset" - $SnippetCtx, 0)) AS snippet
+      FROM capped c
+      JOIN ids i USING (doc_id)
+      JOIN sp USING (query_id)""",
+
     "q_events_window" -> """
       SELECT CAST(epoch_us(time_bucket(INTERVAL '6 hours', ts)) // 1000000
                AS BIGINT) AS window_start,
@@ -926,6 +1021,7 @@ object Gate {
     "q_dedup_exact" -> (qDedupExact _),
     "q_neardup_jaccard" -> (qNearDupJaccard _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_clean_corpus" -> (qCleanCorpus _),
     "q_minhash_candidates" -> (qMinhashCandidates _),
     "q_simhash" -> (qSimhash _),
     "q_langid" -> (qLangId _),
@@ -940,6 +1036,7 @@ object Gate {
     "q_spectrum_origins" -> (qSpectrumOrigins _),
     "q_substring" -> (qSubstring _),
     "q_offsets" -> (qOffsets _),
+    "q_snippets" -> (qSnippets _),
     "q_phrase_offsets" -> (qPhraseOffsets _),
     "q_events_window" -> (qEventsWindow _),
     "q_sessionize" -> (qSessionize _),

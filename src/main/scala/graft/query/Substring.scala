@@ -198,4 +198,37 @@ object Substring {
         .toDF("query_id", "doc_id", "offset")
     }
   }
+
+  /** Snippet extraction: every decoded match with `ctx` characters of
+    * surrounding context — the span-labeling / training-example view of
+    * the reference's full match decode (offset decode + the caller's own
+    * string slicing, /root/reference/README.md:267-416).
+    *
+    * Scale shape: offsets are decoded and CAPPED first (`maxMatches`
+    * lowest (doc, offset) per query), so the capped match table is tiny;
+    * it is broadcast against ONE column-pruned corpus scan and the
+    * window arithmetic + substring run as codegen'd expressions.
+    *
+    * Returns (query_id, doc_id, offset, snippet); snippet spans
+    * [max(0, offset-ctx), min(len, offset+|pat|+ctx)). */
+  def snippets(spark: SparkSession, indexDir: String,
+               queries: Seq[(Long, String)], ctx: Int = 20,
+               nBuckets: Int = 32, maxMatches: Long = 200L,
+               allowShortScan: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(maxMatches < Int.MaxValue,
+      "snippets requires a finite maxMatches cap (the match table is " +
+        "broadcast against the corpus scan)")
+    val offs = findOffsets(spark, indexDir, queries, nBuckets, maxMatches,
+        allowShortScan)
+      .join(broadcast(queries.toDF("query_id", "pat")), "query_id")
+    val corpus = spark.read.parquet(s"$indexDir/corpus_ids")
+      .select("doc_id", "content")
+    val start = greatest(col("offset") - ctx, lit(0L))
+    val end = least(col("offset") + length(col("pat")) + ctx,
+      length(col("content")).cast("long"))
+    corpus.join(broadcast(offs), "doc_id")
+      .select(col("query_id"), col("doc_id"), col("offset"),
+        col("content").substr(start + 1, end - start).as("snippet"))
+  }
 }

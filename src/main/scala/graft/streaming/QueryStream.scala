@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.corpus.Queries
+import graft.query.Searcher
+import graft.util.Fs
+
+/** Streaming query serving — the Spark-native form of the reference's
+  * interactive query loop (`gin query find` reads one query per line
+  * until the `exit();` sentinel, /root/reference/README.md:198-210,
+  * gin.c query REPL): queries arrive as text files in a watched
+  * directory, each micro-batch is answered with the SAME dispatcher as
+  * the batch path (driver WAND for small batches, executor WAND for
+  * large, relational above the posting-volume cap), and results land as
+  * one parquet directory per batch.
+  *
+  * Idempotency: foreachBatch replays a batch with the same batchId after
+  * a crash; the per-batch result directory is written with
+  * mode=Overwrite, so a retry replaces its own partial output instead of
+  * appending duplicates (same discipline as IncrementalIndexer's staged
+  * batch-prefixed promotes).
+  *
+  * Query ids must be stable under replay and independent of file-listing
+  * order, so they are assigned by sorting the batch's query texts:
+  * id = batchId * IdStride + 1-based position. Results therefore join
+  * back to their text via the emitted `text` column, not arrival order.
+  *
+  * The sentinel line ends the stream: the batch that contains it answers
+  * every query in that batch (sentinel lines themselves are dropped) and
+  * writes an `_EXIT` marker; `awaitSentinel` then stops the stream. This
+  * keeps the reference's file/REPL contract while staying a normal
+  * Structured Streaming job — on a real cluster the same code serves a
+  * continuously-fed query directory.
+  */
+object QueryStream {
+
+  /** Id namespace per micro-batch (bounds queries per batch). */
+  val IdStride = 1000000L
+
+  /** Start serving: watch `queryDir` for text files (one query per
+    * line), write per-batch results under `outDir/results/batch_id=N`
+    * as (query_id, text, rank, doc_id, score). */
+  def serve(spark: SparkSession, indexDir: String, queryDir: String,
+            outDir: String, k: Int = 10,
+            mode: Searcher.Mode = Searcher.And,
+            nBuckets: Int = 32,
+            maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    import spark.implicits._
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(queryDir)
+      .writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        serveBatch(batch.sparkSession, batch, indexDir, outDir, batchId,
+          k, mode, nBuckets)
+      }
+      .start()
+  }
+
+  /** Answer one micro-batch of query lines (also usable directly). */
+  def serveBatch(spark: SparkSession, batch: DataFrame, indexDir: String,
+                 outDir: String, batchId: Long, k: Int,
+                 mode: Searcher.Mode, nBuckets: Int): Unit = {
+    import spark.implicits._
+    // a query batch is small by construction (human/generated query
+    // lines, capped by maxFilesPerTrigger) — collecting the TEXTS is
+    // bounded; the search itself runs distributed
+    val lines = batch.select(col("value")).as[String].collect()
+      .map(_.trim).filter(_.nonEmpty)
+    val sawSentinel = lines.contains(Queries.Sentinel)
+    val qs = lines.filter(_ != Queries.Sentinel).distinct.sorted.zipWithIndex
+      .map { case (text, i) =>
+        Searcher.Query(batchId * IdStride + i + 1L, text)
+      }.toSeq
+    require(qs.size < IdStride, s"micro-batch of ${qs.size} queries " +
+      "overflows the per-batch id namespace; lower maxFilesPerTrigger")
+    if (qs.nonEmpty) {
+      val texts = qs.map(q => q.query_id -> q.text).toDF("query_id", "text")
+      Searcher.searchTopK(spark, indexDir, qs, k, mode, nBuckets)
+        .join(broadcast(texts), "query_id")
+        .select("query_id", "text", "rank", "doc_id", "score")
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$outDir/results/batch_id=$batchId")
+    }
+    if (sawSentinel) Fs.write(spark, s"$outDir/_EXIT", batchId.toString)
+  }
+
+  /** Block until the sentinel batch has been processed (or `timeoutMs`
+    * elapses), then stop the stream. Returns true if the sentinel was
+    * seen. */
+  def awaitSentinel(spark: SparkSession, q: StreamingQuery, outDir: String,
+                    timeoutMs: Long = 120000L): Boolean = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var seen = Fs.exists(spark, s"$outDir/_EXIT")
+    while (!seen && System.nanoTime() < deadline && q.isActive) {
+      q.processAllAvailable()
+      seen = Fs.exists(spark, s"$outDir/_EXIT")
+      if (!seen) Thread.sleep(50)
+    }
+    q.stop()
+    seen
+  }
+
+  /** All results so far as one DataFrame (partition-discovered
+    * batch_id). */
+  def results(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.option("basePath", s"$outDir/results")
+      .parquet(s"$outDir/results")
+}

@@ -327,4 +327,30 @@ class OpsSpec extends SparkTestBase {
     assert(chunks.forall(_._2 % 2 == 0)) // every 2nd chunk only
     assert(chunks.forall(_._3 <= 16))
   }
+
+  test("cleanCorpus: precedence quality > lang > exact_dup > near_dup > keep") {
+    import spark.implicits._
+    // 25-token English base: en markers dominate, unique shingles
+    val enBase = ("the and of is " +
+      (0 until 21).map(i => s"tok$i").mkString(" "))
+    val frDoc = "le la et les " +
+      (0 until 21).map(i => s"mot$i").mkString(" ")
+    val unkDoc = (0 until 25).map(i => s"xx$i").mkString(" ")
+    val fixture = Seq(
+      0L -> "the of tiny doc",        // 4 tokens -> quality
+      1L -> enBase,                   // keeper (rep of its dup cluster)
+      2L -> frDoc,                    // french -> lang
+      3L -> enBase,                   // exact dup of 1 -> exact_dup
+      4L -> (enBase + " extra"),      // near dup of 1 -> near_dup
+      5L -> unkDoc                    // unknown lang -> lang
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Pipeline.cleanCorpus(fixture,
+        keepLangs = Seq("en"), minTokens = 20L, maxTokens = 100000L)
+      .select("doc_id", "keep", "drop_reason")
+      .as[(Long, Boolean, String)].collect().sortBy(_._1)
+    assert(got.map(r => r._1 -> r._3).toSeq == Seq(
+      0L -> "quality", 1L -> "keep", 2L -> "lang",
+      3L -> "exact_dup", 4L -> "near_dup", 5L -> "lang"))
+    assert(got.forall(r => r._2 == (r._3 == "keep")))
+  }
 }

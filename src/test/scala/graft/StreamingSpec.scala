@@ -341,4 +341,54 @@ class StreamingSpec extends SparkTestBase {
       .select("df").as[Long].collect()
     assert(df.toSeq == Seq(1L))
   }
+
+  test("query stream: serves query files until exit(); results == batch path") {
+    import spark.implicits._
+    import graft.streaming.QueryStream
+    val all = (0L until 120L).map(i => Synth.doc(7L, i))
+    val dir = tmpDir("qs-idx")
+    val conf = Builder.Config(blockSize = 16, nBuckets = 8, nSegments = 2,
+      saltTarget = 40)
+    Builder.build(spark, all.toDF(), dir, conf)
+
+    val t = graft.index.Tokenizer.tokens(Synth.doc(7L, 3L).content)
+    val texts1 = Seq(t(0), s"${t(1)} ${t(2)}")
+    val texts2 = Seq(s"${t(0)} ${t(3)}")
+    def writeFile(qdir: String, name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(qdir, name),
+        scala.jdk.CollectionConverters.SeqHasAsJava(lines).asJava)
+
+    val qDir = tmpDir("qs-in")
+    val outDir = tmpDir("qs-out")
+    writeFile(qDir, "q1.txt", texts1)
+    val q = QueryStream.serve(spark, dir, qDir, outDir, k = 5, nBuckets = 8)
+    try {
+      q.processAllAvailable()
+      writeFile(qDir, "q2.txt", texts2 :+ graft.corpus.Queries.Sentinel)
+      assert(QueryStream.awaitSentinel(spark, q, outDir),
+        "sentinel batch never processed")
+    } finally if (q.isActive) q.stop()
+
+    val got = QueryStream.results(spark, outDir)
+      .select("text", "rank", "doc_id", "score")
+      .as[(String, Int, Long, Double)].collect().toSet
+    assert(got.map(_._1) == (texts1 ++ texts2).toSet,
+      "every non-sentinel query answered exactly once")
+    // identical rankings via the batch dispatcher
+    val batchQs = (texts1 ++ texts2).zipWithIndex
+      .map { case (x, i) => Searcher.Query(i + 1L, x) }
+    val want = Searcher.searchTopK(spark, dir, batchQs, 5, nBuckets = 8)
+      .join(broadcast(batchQs.map(b => b.query_id -> b.text)
+        .toDF("query_id", "text")), "query_id")
+      .select("text", "rank", "doc_id", "score")
+      .as[(String, Int, Long, Double)].collect().toSet
+    assert(got == want)
+
+    // replaying a batch overwrites its own output (no duplicates)
+    val before = QueryStream.results(spark, outDir).count()
+    QueryStream.serveBatch(spark,
+      texts1.toDF("value"), dir, outDir, 0L, 5, Searcher.And, 8)
+    assert(QueryStream.results(spark, outDir).count() == before)
+  }
 }

@@ -164,4 +164,38 @@ class SubstringSpec extends SparkTestBase {
     assert(tri.count() < corpus.count() / 2,
       "trigram intersection should narrow candidates")
   }
+
+  test("snippets: window arithmetic matches a brute-force slice (clipped)") {
+    import spark.implicits._
+    val sample = Synth.doc(5L, 42L).content
+    val queries = Seq(
+      1L -> sample.substring(10, 30),
+      2L -> "id_1 id_",
+      3L -> sample.substring(0, 12)) // matches at offset 0 -> left clip
+    val ctx = 7
+    val got = Substring.snippets(spark, indexDir, queries, ctx = ctx,
+        nBuckets = 8, maxMatches = 50L)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val withIds = Builder.withDocIds(corpus)
+      .select($"doc_id", $"content").as[(Long, String)].collect()
+    val want = (for {
+      (qid, pat) <- queries
+      (docId, content) <- withIds
+      if content.contains(pat)
+      offs = Iterator.iterate(content.indexOf(pat))(i =>
+        content.indexOf(pat, i + 1)).takeWhile(_ >= 0).toSeq
+      off <- offs
+    } yield {
+      val s = math.max(off - ctx, 0)
+      val e = math.min(off + pat.length + ctx, content.length)
+      (qid, docId, off.toLong, content.substring(s, e))
+    }).groupBy(_._1).flatMap { case (qid, rows) => // same cap semantics
+      rows.sortBy(r => (r._2, r._3)).take(50)
+    }.toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // every snippet actually contains its pattern
+    val pats = queries.toMap
+    assert(got.forall { case (qid, _, _, sn) => sn.contains(pats(qid)) })
+  }
 }
