@@ -109,20 +109,7 @@ object Searcher {
     // reference's depth-k cache bootstraps multi-char prefixes the same
     // way, /root/reference/src/gin_gin.c:1021-1304), answered without
     // touching postings
-    val (cacheMap, cacheK) = handle.headCache
-    val (cache2Map, cacheK2) = handle.headCache2
-    val (cache3Map, cacheK3) = handle.headCache3
-    def cachedFor(ts: Seq[String]): Option[Seq[Scored]] = {
-      val present = ts.filter(dict.contains)
-      if (present.size == 1 && k <= cacheK) cacheMap.get(present.head)
-      else if (present.size == 2 && mode == And && k <= cacheK2) {
-        val (a, b) = (present(0), present(1))
-        cache2Map.get(if (a < b) (a, b) else (b, a))
-      } else if (present.size == 3 && mode == And && k <= cacheK3) {
-        val Seq(a, b, c) = present.sorted
-        cache3Map.get((a, b, c))
-      } else None
-    }
+    val cachedFor = headCacheProbe(handle, dict, k, mode)
     val (cachedQs, liveQs) = live.partition { case (_, ts) =>
       cachedFor(ts).isDefined
     }
@@ -160,6 +147,31 @@ object Searcher {
     rows.toDF("query_id", "rank", "doc_id", "score")
   }
 
+  /** Head-cache probe (Q9/Q10 analog) shared by the driver and executor
+    * WAND paths: single-term queries on cached head terms, 2/3-term AND
+    * queries on cached head pairs/triples (the reference's depth-k cache
+    * bootstraps multi-char prefixes the same way,
+    * /root/reference/src/gin_gin.c:1021-1304) are answered without
+    * touching postings. The cache maps live on the driver (bounded by
+    * the build-time minDf/k knobs), so the probe costs a map lookup. */
+  private def headCacheProbe(handle: IndexHandle, dict: Map[String, Long],
+      k: Int, mode: Mode): Seq[String] => Option[Seq[Scored]] = {
+    val (cacheMap, cacheK) = handle.headCache
+    val (cache2Map, cacheK2) = handle.headCache2
+    val (cache3Map, cacheK3) = handle.headCache3
+    (ts: Seq[String]) => {
+      val present = ts.filter(dict.contains)
+      if (present.size == 1 && k <= cacheK) cacheMap.get(present.head)
+      else if (present.size == 2 && mode == And && k <= cacheK2) {
+        val (a, b) = (present(0), present(1))
+        cache2Map.get(if (a < b) (a, b) else (b, a))
+      } else if (present.size == 3 && mode == And && k <= cacheK3) {
+        val Seq(a, b, c) = present.sorted
+        cache3Map.get((a, b, c))
+      } else None
+    }
+  }
+
   /** Executor-side exact BMW serving — the batch form of the driver WAND
     * loop (the reference's thread-parallel query batches at cluster
     * scale): still-compressed blocks join the broadcast query-term table
@@ -193,8 +205,19 @@ object Searcher {
       org.apache.spark.sql.types.StructType.fromDDL(
         "query_id BIGINT, rank INT, doc_id BIGINT, score DOUBLE"))
     if (live.isEmpty) return emptyOut
-    val liveTerms = live.values.flatten.toSeq.distinct.filter(dict.contains)
-    val qt = live.toSeq.flatMap { case (qid, ts) =>
+    // head-cache hits are answered on the driver (map lookup) and never
+    // enter the block join — the same fast path the driver loop has
+    val cachedFor = headCacheProbe(handle, dict, k, mode)
+    val (cachedQs, liveQs) = live.partition { case (_, ts) =>
+      cachedFor(ts).isDefined
+    }
+    val cachedDf = cachedQs.toSeq.flatMap { case (qid, ts) =>
+      cachedFor(ts).get.take(k).zipWithIndex
+        .map { case (s, i) => (qid, i + 1, s.doc_id, s.score) }
+    }.toDF("query_id", "rank", "doc_id", "score")
+    if (liveQs.isEmpty) return cachedDf
+    val liveTerms = liveQs.values.flatten.toSeq.distinct.filter(dict.contains)
+    val qt = liveQs.toSeq.flatMap { case (qid, ts) =>
       ts.filter(dict.contains)
         .map(t => (qid, t, Bm25.idf(stats.n_docs, dict(t))))
     }.toDF("query_id", "term", "idf")
@@ -228,6 +251,7 @@ object Searcher {
         }
       }
       .toDF("query_id", "rank", "doc_id", "score")
+      .unionByName(cachedDf)
   }
 
   /** Distributed relational plan (decode -> join -> aggregate -> typed

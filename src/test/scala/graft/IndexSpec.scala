@@ -102,6 +102,18 @@ class IndexSpec extends SparkTestBase {
     val cached = rows(Searcher.searchTopKWand(spark, indexDir, qs, 10, Searcher.And, 8))
     val rel = rows(Searcher.searchTopKRelational(spark, indexDir, qs, 10, Searcher.And, 8))
     assert(cached == rel)
+    // executor path probes the same cache: an all-cached batch (driver
+    // early return, no block join) and a mixed batch (union of cached +
+    // executor-computed rows) both match
+    val exAll = rows(Searcher.searchTopKWandExecutors(spark, indexDir, qs,
+      10, Searcher.And, 8))
+    assert(exAll == rel)
+    val mixed = qs :+ Query(3, "id_0 id_1 id_2 id_3") // 4 terms: never cached
+    val exMixed = rows(Searcher.searchTopKWandExecutors(spark, indexDir,
+      mixed, 10, Searcher.And, 8))
+    val relMixed = rows(Searcher.searchTopKRelational(spark, indexDir,
+      mixed, 10, Searcher.And, 8))
+    assert(exMixed == relMixed)
   }
 
   test("head cache is built distributedly (no posting collect) even non-resident") {
