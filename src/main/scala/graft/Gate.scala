@@ -757,7 +757,10 @@ object Gate {
                     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
                          AS BIGINT) AS e
                   FROM embeddings),
-      cent AS (SELECT vec_id AS cid, d, e FROM eq WHERE vec_id < $IvfCentroids),
+      cids AS (SELECT DISTINCT vec_id FROM embeddings
+               ORDER BY vec_id LIMIT $IvfCentroids),
+      cent AS (SELECT eq.vec_id AS cid, d, e
+               FROM eq JOIN cids USING (vec_id)),
       adots AS (SELECT eq.vec_id, c.cid, sum(eq.e * c.e) AS s
                 FROM eq JOIN cent c ON c.d = eq.d GROUP BY 1, 2),
       cell AS (SELECT vec_id AS neighbor_id, cid FROM adots

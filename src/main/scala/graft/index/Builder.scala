@@ -608,10 +608,10 @@ object Builder {
     val pre = s"$indexDir/dictionary_predelta"
     if (!Fs.exists(spark, dict)) {
       if (Fs.exists(spark, compactDir)) {
-        Fs.renameChecked(spark, compactDir, dict)
+        Fs.renameOrHealed(spark, compactDir, dict)
         Fs.delete(spark, s"$indexDir/dict_deltas")
         Fs.delete(spark, pre)
-      } else if (Fs.exists(spark, pre)) Fs.renameChecked(spark, pre, dict)
+      } else if (Fs.exists(spark, pre)) Fs.renameOrHealed(spark, pre, dict)
       else {
         // legacy (pre-delta-segment) crash states: a half-promoted
         // dictionary_new, or an undo log holding the pre-batch dictionary
@@ -639,8 +639,11 @@ object Builder {
       // the swap renames postings away only AFTER postings_compact was
       // fully written, so if postings is missing the compact dir (when
       // present) is complete — promote it; otherwise roll back
-      if (Fs.exists(spark, compactDir)) Fs.renameChecked(spark, compactDir, post)
-      else if (Fs.exists(spark, old)) Fs.renameChecked(spark, old, post)
+      // race-tolerant: a concurrent healer/writer may complete the same
+      // promote first — only a rejected rename with `post` still absent
+      // is a real failure (see Fs.renameOrHealed)
+      if (Fs.exists(spark, compactDir)) Fs.renameOrHealed(spark, compactDir, post)
+      else if (Fs.exists(spark, old)) Fs.renameOrHealed(spark, old, post)
     }
     if (Fs.exists(spark, post) && Fs.exists(spark, old))
       Fs.delete(spark, old) // crash after promote, before cleanup

@@ -202,9 +202,12 @@ object Ann {
               dims: Int = 64): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // the nCentroids SMALLEST vec_ids (sort+limit -> TakeOrdered, no
+    // dense-0-based id assumption: an offset or filtered id space must
+    // not silently yield an empty/undersized centroid set)
     val cents: Array[(Long, Array[Long])] = corpus
-      .filter(col("vec_id") < nCentroids)
       .select(col("vec_id").cast("long"), quantized(col("embedding")))
+      .orderBy(col("vec_id")).limit(nCentroids)
       .as[(Long, Seq[Long])].collect()
       .map { case (id, e) => (id, e.toArray) }
       .sortBy(_._1)

@@ -269,6 +269,14 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // a silent non-converged return would hand back intermediate labels
+    // as if they were cluster reps (wrong dedup groups, oracle
+    // divergence) — fail loudly; callers with genuinely deep components
+    // (chain-shaped near-dup graphs) raise maxIter
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds; " +
+          "a component's diameter exceeds maxIter — raise maxIter")
     labels
   }
 

@@ -77,8 +77,12 @@ object Phrase {
         && col("term").isin(liveTerms: _*))
       .select("term", "doc_id", "n_pos", "pos_deltas")
 
-    val verified = occurrenceRows(spark, live, candidates, positions)
-      .select("query_id", "doc_id").distinct()
+    // verification only needs EXISTENCE per (query, doc): firstOnly stops
+    // at the first matching start instead of enumerating (and shuffling)
+    // every occurrence of a hot phrase through a distinct()
+    val verified = occurrenceRows(spark, live, candidates, positions,
+        firstOnly = true)
+      .select("query_id", "doc_id")
 
     // BM25 score the verified docs over the phrase's distinct terms
     val qt = live.keys.toSeq.flatMap { qid =>
@@ -174,7 +178,7 @@ object Phrase {
     * the per-doc work is |positions of the rarest term| binary searches. */
   private def occurrenceRows(spark: SparkSession,
       live: Map[Long, Seq[String]], candidates: DataFrame,
-      positions: DataFrame): DataFrame = {
+      positions: DataFrame, firstOnly: Boolean = false): DataFrame = {
     import spark.implicits._
     val seqB = spark.sparkContext.broadcast(live)
     candidates
@@ -189,15 +193,21 @@ object Phrase {
         }.toMap
         val terms = seqB.value(qid)
         if (!terms.forall(posByTerm.contains)) Iterator.empty
-        else posByTerm(terms.head).iterator.filter { p =>
-          var i = 1
-          var good = true
-          while (good && i < terms.length) {
-            good = java.util.Arrays.binarySearch(posByTerm(terms(i)), p + i) >= 0
-            i += 1
+        else {
+          val starts = posByTerm(terms.head).iterator.filter { p =>
+            var i = 1
+            var good = true
+            while (good && i < terms.length) {
+              good = java.util.Arrays.binarySearch(posByTerm(terms(i)), p + i) >= 0
+              i += 1
+            }
+            good
           }
-          good
-        }.map(p => (qid, docId, p))
+          // firstOnly: the verification caller needs existence, not the
+          // occurrence list — stop at the first matching start
+          (if (firstOnly) starts.take(1) else starts)
+            .map(p => (qid, docId, p))
+        }
       }
       .toDF("query_id", "doc_id", "pos")
   }

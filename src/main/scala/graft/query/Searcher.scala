@@ -52,8 +52,13 @@ object Searcher {
     * head-cache hits). */
   val ExecBatchThreshold = 256
 
-  /** Per-query work counters from the last WAND invocation — the
-    * reference's per-query stats (gin.c:1118-1151). Keyed by query_id. */
+  /** Per-query work counters from the last DRIVER-loop WAND invocation —
+    * the reference's per-query stats (gin.c:1118-1151). Keyed by
+    * query_id. NOT populated by the executor path (counters would live in
+    * executor JVMs) or the relational path: batches >= ExecBatchThreshold
+    * leave entries from earlier driver-loop calls in place, so consumers
+    * (e.g. decoded-fraction instrumentation) must use driver-loop-sized
+    * batches or call searchTopKWand directly. */
   val lastStats = new java.util.concurrent.ConcurrentHashMap[Long, Wand.QueryStats]()
 
   /** Shared pool for the driver-side WAND serving loop. */

@@ -107,14 +107,38 @@ object Substring {
     }
   }
 
-  /** All 0-based offsets of `pat` in `content`, stepping by 1 so
-    * overlapping occurrences all count — exactly the suffix-array
+  /** All 0-based CODE-POINT offsets of `pat` in `content`, stepping by 1
+    * so overlapping occurrences all count — exactly the suffix-array
     * occurrence set the reference decodes (sa_hi - sa_lo entries). */
-  private[query] def occurrenceOffsets(content: String, pat: String): Array[Long] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+  private[graft] def occurrenceOffsets(content: String, pat: String): Array[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
     var i = content.indexOf(pat)
-    while (i >= 0) { out += i.toLong; i = content.indexOf(pat, i + 1) }
-    out.toArray
+    while (i >= 0) { out += i; i = content.indexOf(pat, i + 1) }
+    toCodePointOffsets(content, out.toArray)
+  }
+
+  /** Convert ASCENDING UTF-16 code-unit indices into code-point offsets
+    * in one walk over `content`. Spark SQL substring/length and the
+    * DuckDB oracle count CODE POINTS, while java.lang.String.indexOf
+    * returns code-unit indices — on content with supplementary-plane
+    * characters (emoji, rare CJK) the two disagree, so every offset this
+    * module emits is converted here. BMP-only content degenerates to the
+    * identity at one branch per scanned char. */
+  private[graft] def toCodePointOffsets(content: String,
+      cuIdx: Array[Int]): Array[Long] = {
+    val out = new Array[Long](cuIdx.length)
+    var cu = 0
+    var cp = 0L
+    var j = 0
+    while (j < cuIdx.length) {
+      while (cu < cuIdx(j)) {
+        cp += 1
+        cu += Character.charCount(content.codePointAt(cu))
+      }
+      out(j) = cp
+      j += 1
+    }
+    out
   }
 
   /** Returns (query_id, doc_id, n_matches, first_offset): overlapping
@@ -142,7 +166,8 @@ object Substring {
           var n = 0L
           var i = first
           while (i >= 0) { n += 1; i = content.indexOf(pat, i + 1) }
-          Some((qid, did, n, first.toLong))
+          Some((qid, did, n,
+            toCodePointOffsets(content, Array(first))(0)))
         }
       })
       .toDF("query_id", "doc_id", "n_matches", "first_offset")

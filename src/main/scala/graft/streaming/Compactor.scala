@@ -42,8 +42,14 @@ object Compactor {
       .repartition(math.min(nPart, nBuckets), org.apache.spark.sql.functions.col("bucket"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("bucket").parquet(s"$indexDir/dictionary_compact")
-    Fs.rename(spark, s"$indexDir/dictionary", s"$indexDir/dictionary_predelta")
-    Fs.rename(spark, s"$indexDir/dictionary_compact", s"$indexDir/dictionary")
+    // CHECKED renames: a silently failed promote followed by the delete
+    // below would drop the streamed delta counts without the base ever
+    // absorbing them (permanent df/cf corruption). Failing loudly leaves
+    // dict_deltas intact for the next fold attempt.
+    Fs.renameChecked(spark, s"$indexDir/dictionary",
+      s"$indexDir/dictionary_predelta")
+    Fs.renameChecked(spark, s"$indexDir/dictionary_compact",
+      s"$indexDir/dictionary")
     Fs.delete(spark, s"$indexDir/dict_deltas")
     Fs.delete(spark, s"$indexDir/dictionary_predelta")
   }
@@ -78,8 +84,10 @@ object Compactor {
     // roll back). The reference's analog is the atomic single-blob index
     // rewrite (/root/reference/gin.c:375-398).
     Fs.delete(spark, s"$indexDir/postings_old")
-    Fs.rename(spark, s"$indexDir/postings", s"$indexDir/postings_old")
-    Fs.rename(spark, tmpDir, s"$indexDir/postings")
+    Fs.renameChecked(spark, s"$indexDir/postings", s"$indexDir/postings_old")
+    // the promote tolerates a concurrent recoverPostings having completed
+    // it first (reader heal racing this writer between the two renames)
+    Fs.renameOrHealed(spark, tmpDir, s"$indexDir/postings")
     Fs.delete(spark, s"$indexDir/postings_old")
     Fs.write(spark, s"$indexDir/_COMMIT_compact", s"""{"nSegments":${conf.nSegments}}""")
     IndexHandle.invalidate(spark, indexDir)

@@ -39,6 +39,12 @@ object QueryStream {
   /** Id namespace per micro-batch (bounds queries per batch). */
   val IdStride = 1000000L
 
+  /** Hard cap on query LINES collected per micro-batch:
+    * maxFilesPerTrigger bounds files, not lines, so one huge file must
+    * fail loudly (limit pushdown keeps the driver from materializing it)
+    * instead of OOMing the driver. */
+  val MaxBatchLines = 100000
+
   /** Start serving: watch `queryDir` for text files (one query per
     * line), write per-batch results under `outDir/results/batch_id=N`
     * as (query_id, text, rank, doc_id, score). */
@@ -65,18 +71,21 @@ object QueryStream {
                  outDir: String, batchId: Long, k: Int,
                  mode: Searcher.Mode, nBuckets: Int): Unit = {
     import spark.implicits._
-    // a query batch is small by construction (human/generated query
-    // lines, capped by maxFilesPerTrigger) — collecting the TEXTS is
-    // bounded; the search itself runs distributed
-    val lines = batch.select(col("value")).as[String].collect()
-      .map(_.trim).filter(_.nonEmpty)
+    // a query batch is small by convention (human/generated query
+    // lines); the MaxBatchLines-limited collect makes that a checked
+    // invariant instead of a driver-OOM hazard — the search itself runs
+    // distributed
+    val collected = batch.select(col("value")).as[String]
+      .limit(MaxBatchLines + 1).collect()
+    require(collected.length <= MaxBatchLines,
+      s"micro-batch exceeds $MaxBatchLines query lines; split the input " +
+        "files or lower maxFilesPerTrigger")
+    val lines = collected.map(_.trim).filter(_.nonEmpty)
     val sawSentinel = lines.contains(Queries.Sentinel)
     val qs = lines.filter(_ != Queries.Sentinel).distinct.sorted.zipWithIndex
       .map { case (text, i) =>
         Searcher.Query(batchId * IdStride + i + 1L, text)
       }.toSeq
-    require(qs.size < IdStride, s"micro-batch of ${qs.size} queries " +
-      "overflows the per-batch id namespace; lower maxFilesPerTrigger")
     if (qs.nonEmpty) {
       val texts = qs.map(q => q.query_id -> q.text).toDF("query_id", "text")
       Searcher.searchTopK(spark, indexDir, qs, k, mode, nBuckets)

@@ -80,6 +80,23 @@ object Fs {
   def renameChecked(spark: SparkSession, from: String, to: String): Unit =
     require(rename(spark, from, to), s"rename failed: $from -> $to")
 
+  /** Rename for HEAL paths, where a concurrent healer/writer may have
+    * completed the same promote first: losing that benign race (rename
+    * fails but the destination now exists) is fine; a rename the
+    * filesystem rejected with the destination still absent is a real
+    * failure and throws. */
+  def renameOrHealed(spark: SparkSession, from: String, to: String): Unit = {
+    // filesystems disagree on a missing source: HDFS returns false,
+    // RawLocalFileSystem throws FileNotFoundException — both mean the
+    // same thing here (the winner already moved it)
+    val ok =
+      try rename(spark, from, to)
+      catch { case _: java.io.IOException => false }
+    if (!ok)
+      require(exists(spark, to),
+        s"rename failed: $from -> $to (destination still absent)")
+  }
+
   /** Recursively delete files named `prefix*` under `dir` (descends into
     * partition subdirectories). */
   def deletePrefixed(spark: SparkSession, dir: String, prefix: String): Unit = {

@@ -328,6 +328,42 @@ class OpsSpec extends SparkTestBase {
     assert(chunks.forall(_._3 <= 16))
   }
 
+  test("connectedComponents: deep chain converges with enough rounds, throws otherwise") {
+    import spark.implicits._
+    val n = 30
+    val nodes = (0L until n.toLong).toDF("doc_id")
+    val chain = (0L until (n - 1).toLong)
+      .map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ok = graft.ops.Dedup.connectedComponents(nodes, chain, maxIter = 40)
+      .as[(Long, Long)].collect()
+    assert(ok.forall(_._2 == 0L)) // one component, rep = min id
+    // a silent wrong-rep return is worse than failing: non-convergence
+    // within maxIter must throw
+    intercept[IllegalStateException] {
+      graft.ops.Dedup.connectedComponents(nodes, chain, maxIter = 5)
+        .collect()
+    }
+  }
+
+  test("ivfTopK does not assume dense 0-based vec_ids") {
+    import spark.implicits._
+    def embs(offset: Long) = (0L until 40L).map { i =>
+      (i + offset, (0 until 8).map(d =>
+        (((i * 31 + d * 7) % 13).toFloat - 6.0f) / 6.0f))
+    }.toDF("vec_id", "embedding")
+    def run(offset: Long) = {
+      val e = embs(offset)
+      Ann.ivfTopK(e.filter(col("vec_id") < lit(5L + offset)), e, k = 3,
+          nCentroids = 4, nProbe = 4, dims = 8)
+        .as[(Long, Int, Long, Double)].collect()
+        .map { case (q, r, nb, c) => (q - offset, r, nb - offset, c) }
+        .toSet
+    }
+    val base = run(0L)
+    assert(base.nonEmpty)
+    assert(run(1000L) == base) // id shift must not change results
+  }
+
   test("cleanCorpus: precedence quality > lang > exact_dup > near_dup > keep") {
     import spark.implicits._
     // 25-token English base: en markers dominate, unique shingles

@@ -46,4 +46,17 @@ class SourcesSpec extends SparkTestBase {
       Builder.Config(blockSize = 16, nBuckets = 8, nSegments = 2, saltTarget = 40))
     assert(!Builder.indexEqual(spark, a, c))
   }
+
+  test("renameOrHealed: tolerates a lost benign race, throws on real failure") {
+    import graft.util.Fs
+    val d = tmpDir("fs-heal")
+    // benign race shape: the winner already moved the source to the
+    // destination (source gone, destination present) -> no throw
+    Fs.write(spark, s"$d/dest/marker", "x")
+    Fs.renameOrHealed(spark, s"$d/gone", s"$d/dest")
+    // real failure: rename rejected AND destination absent -> throw
+    intercept[IllegalArgumentException] {
+      Fs.renameOrHealed(spark, s"$d/gone", s"$d/never_created")
+    }
+  }
 }

@@ -390,5 +390,14 @@ class StreamingSpec extends SparkTestBase {
     QueryStream.serveBatch(spark,
       texts1.toDF("value"), dir, outDir, 0L, 5, Searcher.And, 8)
     assert(QueryStream.results(spark, outDir).count() == before)
+
+    // an oversized batch (one huge file) fails loudly instead of
+    // collecting unbounded lines onto the driver
+    intercept[IllegalArgumentException] {
+      QueryStream.serveBatch(spark,
+        spark.range(QueryStream.MaxBatchLines + 5L)
+          .select(concat(lit("q"), col("id")).as("value")),
+        dir, outDir, 99L, 5, Searcher.And, 8)
+    }
   }
 }

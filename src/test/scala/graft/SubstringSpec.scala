@@ -198,4 +198,15 @@ class SubstringSpec extends SparkTestBase {
     val pats = queries.toMap
     assert(got.forall { case (qid, _, _, sn) => sn.contains(pats(qid)) })
   }
+
+  test("offsets are code points, not UTF-16 code units (supplementary planes)") {
+    // two emoji (surrogate pairs: 4 code units, 2 code points) then "abc"
+    val content = "😀😀abc xyz abc"
+    // code-unit indices of "abc": 4 and 12; code-point offsets: 2 and 10
+    assert(Substring.occurrenceOffsets(content, "abc").toSeq == Seq(2L, 10L))
+    // identity on BMP-only content
+    assert(Substring.occurrenceOffsets("aaa", "aa").toSeq == Seq(0L, 1L))
+    assert(Substring.toCodePointOffsets(content, Array(0, 2, 4, 12)).toSeq
+      == Seq(0L, 1L, 2L, 10L))
+  }
 }
