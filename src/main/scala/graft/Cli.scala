@@ -28,6 +28,15 @@ import graft.query.{HeadCache, Phrase, Searcher, Substring}
   * spark-submit --class graft.Cli app.jar cache \
   *   --index /idx --min-df 1000 --k 10 [--pair-terms 64] [--triple-terms 24]
   * spark-submit --class graft.Cli app.jar compact --index /idx
+  * spark-submit --class graft.Cli app.jar deindex --index /idx --out /corpus
+  * spark-submit --class graft.Cli app.jar spectrum \
+  *   --input /documents.parquet --k 3 [--origins] [--out /spec]
+  * spark-submit --class graft.Cli app.jar clean \
+  *   --input /documents.parquet [--keep-langs en,fr] [--min-tokens 20] \
+  *   [--max-tokens 100000] [--out /verdicts]
+  * spark-submit --class graft.Cli app.jar serve \
+  *   --index /idx --queries-dir /queries --out-dir /results \
+  *   [--k 10] [--mode and|or] [--timeout-ms 86400000]
   * }}}
   *
   * `--queries` follows the reference's .ginq protocol: one query per
@@ -53,7 +62,7 @@ object Cli {
     * `--resolve --out /r` must not pair (--resolve, --out) and drop the
     * output dir). One scanner shared by main() and run(). */
   private val Flags = Set("--positions", "--trigrams", "--resolve",
-    "--allow-short")
+    "--allow-short", "--origins")
 
   private[graft] def opts(args: Array[String]): Map[String, String] =
     args.drop(1).filterNot(Flags.contains).sliding(2, 2).collect {
@@ -65,7 +74,8 @@ object Cli {
 
   /** Dispatch; returns a result DataFrame for query-like subcommands. */
   def run(spark: SparkSession, args: Array[String]): Option[DataFrame] = {
-    require(args.nonEmpty, "subcommand required: index|query|count|phrase|substring|cache|compact")
+    require(args.nonEmpty, "subcommand required: index|query|count|phrase|" +
+      "substring|decode|cache|compact|deindex|spectrum|clean|serve")
     val o = opts(args)
     def conf = Builder.Config(
       blockSize = o.getOrElse("block-size", "128").toInt,
@@ -134,6 +144,41 @@ object Cli {
         None
       case "compact" =>
         graft.streaming.Compactor.compact(spark, index, conf)
+        None
+      case "deindex" =>
+        // reconstruct the original ingest frame from the index (`gin
+        // deindex`, /root/reference/gin.c:42 mode list): the id-stamped
+        // corpus snapshot IS the round-trip source of truth (B13; content
+        // sha256 equality is the docmeta invariant, tested in IndexSpec)
+        Some(spark.read.parquet(s"$index/corpus_ids")
+          .select("repo", "path", "commit", "lang", "content"))
+      case "spectrum" =>
+        // `gin utils spectrum` analog: global k-gram counts, or per-origin
+        // (gram, doc, n) rows with --origins
+        // (/root/reference/src/gin_graph.c:164-280)
+        val docs = spark.read.parquet(o("input"))
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text"))
+        val kk = o.getOrElse("k", "3").toInt
+        Some(if (flag(args, "origins")) graft.ops.Dedup.kgramOrigins(docs, kk)
+             else graft.ops.Dedup.kgramSpectrum(docs, kk))
+      case "clean" =>
+        // training-pipeline composite verdict (ops.Pipeline.cleanCorpus)
+        Some(graft.ops.Pipeline.cleanCorpus(
+          spark.read.parquet(o("input"))
+            .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("text")),
+          keepLangs = o.getOrElse("keep-langs", "en").split(",").toSeq,
+          minTokens = o.getOrElse("min-tokens", "20").toLong,
+          maxTokens = o.getOrElse("max-tokens", "100000").toLong))
+      case "serve" =>
+        // streaming query REPL (`gin query` interactive loop): watch
+        // --queries-dir for .ginq files until the exit(); sentinel
+        val outDir = o("out-dir")
+        val q = graft.streaming.QueryStream.serve(spark, index,
+          o("queries-dir"), outDir, k, mode, nBuckets)
+        graft.streaming.QueryStream.awaitSentinel(spark, q, outDir,
+          timeoutMs = o.getOrElse("timeout-ms", "86400000").toLong)
         None
       case other =>
         throw new IllegalArgumentException(s"unknown subcommand: $other")

@@ -250,7 +250,13 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = truncate(docs.select(col("doc_id"),
       col("doc_id").cast("long").as("cluster_rep")))
-    var prevSum = labels.agg(sum("cluster_rep")).head().getLong(0)
+    // exact decimal sum: labels may be hash-derived (full Long range),
+    // where a bigint SUM overflows — ANSI mode turns that into a job
+    // failure, and wrapping sums could alias a real change to a no-op
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_rep").cast("decimal(38,0)")))
+        .head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -262,8 +268,8 @@ object Dedup {
         .select(labels("doc_id"),
           least(col("cluster_rep"),
             coalesce(col("nbr_rep"), col("cluster_rep"))).as("cluster_rep")))
-      val s = next.agg(sum("cluster_rep")).head().getLong(0)
-      converged = s == prevSum
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
       iter += 1

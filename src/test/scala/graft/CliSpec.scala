@@ -84,4 +84,53 @@ class CliSpec extends SparkTestBase {
     assert(graft.index.Builder.loadConfig(spark, idx).get.orderCols ==
       Seq("ord", "repo", "path", "commit"))
   }
+
+  test("cli: deindex, spectrum, clean, and serve verbs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val src = tmpDir("cli-dx-src")
+    val corpus = Synth.corpus(spark, 60, seed = 31L)
+    Corpus.write(corpus, src)
+    val idx = tmpDir("cli-dx-idx") + "/index"
+    Cli.run(spark, Array("index", "--input", src, "--out", idx,
+      "--buckets", "4", "--segments", "1", "--salt-target", "60"))
+
+    // deindex: reconstructed frame == the ingested frame (B13 round-trip)
+    val re = Cli.run(spark, Array("deindex", "--index", idx)).get
+    val orig = spark.read.parquet(src)
+      .select("repo", "path", "commit", "lang", "content")
+    assert(re.except(orig).count() == 0 && orig.except(re).count() == 0)
+
+    // spectrum: counts == brute force; --origins carries doc_id
+    val docs = orig.select(
+      xxhash64(col("repo"), col("path")).as("doc_id"),
+      col("content").as("text"))
+    val docsDir = tmpDir("cli-dx-docs")
+    docs.write.mode("overwrite").parquet(docsDir)
+    val spec = Cli.run(spark, Array("spectrum", "--input", docsDir,
+      "--k", "2")).get
+    assert(spec.columns.toSeq.contains("gram") && spec.count() > 0)
+    val specO = Cli.run(spark, Array("spectrum", "--input", docsDir,
+      "--k", "2", "--origins")).get
+    assert(specO.columns.contains("doc_id"))
+
+    // clean: one verdict row per doc
+    val clean = Cli.run(spark, Array("clean", "--input", docsDir,
+      "--min-tokens", "5")).get
+    assert(clean.count() == docs.count())
+    assert(clean.columns.contains("drop_reason"))
+
+    // serve: a query dir with a sentinel file drains and stops
+    val qDir = tmpDir("cli-dx-q")
+    val outDir = tmpDir("cli-dx-out")
+    val t = graft.index.Tokenizer.tokens(
+      corpus.select("content").as[String].head())
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(qDir, "q.ginq"), s"${t.head}\nexit();\n")
+    Cli.run(spark, Array("serve", "--index", idx, "--queries-dir", qDir,
+      "--out-dir", outDir, "--k", "5", "--buckets", "4",
+      "--timeout-ms", "60000"))
+    val served = graft.streaming.QueryStream.results(spark, outDir)
+    assert(served.count() > 0)
+  }
 }
