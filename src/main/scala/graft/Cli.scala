@@ -177,8 +177,11 @@ object Cli {
         val outDir = o("out-dir")
         val q = graft.streaming.QueryStream.serve(spark, index,
           o("queries-dir"), outDir, k, mode, nBuckets)
-        graft.streaming.QueryStream.awaitSentinel(spark, q, outDir,
+        val sentinelSeen = graft.streaming.QueryStream.awaitSentinel(
+          spark, q, outDir,
           timeoutMs = o.getOrElse("timeout-ms", "86400000").toLong)
+        require(sentinelSeen,
+          "serve timed out before the exit(); sentinel was processed")
         None
       case other =>
         throw new IllegalArgumentException(s"unknown subcommand: $other")

@@ -71,10 +71,7 @@ object Gate {
     * WITH RECURSIVE): k=3 shingles with the df cap, jaccard >= 0.5
     * pairs, and the `reach` closure whose min is the cluster rep. Used
     * by q_dedup_clusters and q_clean_corpus (identical constants). */
-  private lazy val ClusterCtes = s"""tl AS (SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
-                 x -> x <> '') AS t
-             FROM documents),
+  private lazy val ClusterCtes = s"""$TlCte,
       sh0 AS (
         SELECT DISTINCT doc_id,
                unnest(list_transform(range(len(t) - 2),
@@ -89,7 +86,9 @@ object Gate {
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2),
       pr AS (
-        SELECT c.doc_a, c.doc_b
+        SELECT c.doc_a, c.doc_b,
+               round(CAST(c.n_common AS DOUBLE) /
+                     (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
         FROM com c
         JOIN sizes sa ON sa.doc_id = c.doc_a
         JOIN sizes sb ON sb.doc_id = c.doc_b
@@ -554,31 +553,8 @@ object Gate {
       FROM documents GROUP BY 1""",
 
     "q_neardup_jaccard" -> s"""
-      WITH tl AS (SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
-                 x -> x <> '') AS t
-             FROM documents),
-      sh0 AS (
-        SELECT DISTINCT doc_id,
-               unnest(list_transform(range(len(t) - 2),
-                 p -> t[p + 1] || ' ' || t[p + 2] || ' ' || t[p + 3])) AS shingle
-        FROM tl WHERE len(t) >= 3),
-      okset AS (SELECT shingle FROM sh0 GROUP BY shingle
-                HAVING count(*) <= $MaxShingleDf),
-      sh AS (SELECT sh0.* FROM sh0 JOIN okset USING (shingle)),
-      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-      com AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
-      SELECT c.doc_a, c.doc_b,
-             round(CAST(c.n_common AS DOUBLE) /
-                   (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
-      FROM com c
-      JOIN sizes sa ON sa.doc_id = c.doc_a
-      JOIN sizes sb ON sb.doc_id = c.doc_b
-      WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common)
-            >= 0.5""",
+      WITH RECURSIVE $ClusterCtes
+      SELECT doc_a, doc_b, jaccard FROM pr""",
 
     // connected components via a recursive CTE: reach(d, r) holds every
     // (doc, reachable-id) pair over the symmetric near-dup edge set;

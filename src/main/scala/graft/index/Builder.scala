@@ -109,10 +109,16 @@ object Builder {
     * `Config(orderCols = Seq("ord", "repo", "path", "commit"))` — the
     * identity suffix keeps the order total (deterministic ids), and docs
     * absent from the permutation sort last in identity order. */
-  def withPermutation(corpus: DataFrame, perm: DataFrame): DataFrame =
-    corpus.join(perm.select("repo", "path", "commit", "ord"),
-        Seq("repo", "path", "commit"), "left")
+  def withPermutation(corpus: DataFrame, perm: DataFrame): DataFrame = {
+    // a duplicate (repo, path, commit) key in the permutation table would
+    // duplicate the corpus row through the join (two doc_ids for one
+    // document -> silently corrupted df/cf/stats); keep the MIN ord per
+    // key so the join is provably 1:N-safe
+    val uniq = perm.groupBy("repo", "path", "commit")
+      .agg(min("ord").as("ord"))
+    corpus.join(uniq, Seq("repo", "path", "commit"), "left")
       .withColumn("ord", coalesce(col("ord"), lit(Long.MaxValue)))
+  }
 
   def bucketOf(term: org.apache.spark.sql.Column, nBuckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(term), lit(nBuckets.toLong)).cast("int")
@@ -616,10 +622,10 @@ object Builder {
         // legacy (pre-delta-segment) crash states: a half-promoted
         // dictionary_new, or an undo log holding the pre-batch dictionary
         val legacyNew = s"$indexDir/dictionary_new"
-        if (Fs.exists(spark, legacyNew)) Fs.renameChecked(spark, legacyNew, dict)
+        if (Fs.exists(spark, legacyNew)) Fs.renameOrHealed(spark, legacyNew, dict)
         else Fs.list(spark, indexDir)
           .find(_.getName.startsWith("dictionary_undo_b"))
-          .foreach(p => Fs.renameChecked(spark, p.toString, dict))
+          .foreach(p => Fs.renameOrHealed(spark, p.toString, dict))
       }
     } else if (Fs.exists(spark, pre)) {
       Fs.delete(spark, s"$indexDir/dict_deltas")

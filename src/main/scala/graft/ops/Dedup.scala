@@ -257,6 +257,10 @@ object Dedup {
       df.agg(sum(col("cluster_rep").cast("decimal(38,0)")))
         .head().getDecimal(0)
     var prevSum = labelSum(labels)
+    if (prevSum == null) { // empty docs frame: agg yields NULL, not 0
+      edges.unpersist()
+      return labels
+    }
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {

@@ -48,7 +48,10 @@ object Compactor {
     // dict_deltas intact for the next fold attempt.
     Fs.renameChecked(spark, s"$indexDir/dictionary",
       s"$indexDir/dictionary_predelta")
-    Fs.renameChecked(spark, s"$indexDir/dictionary_compact",
+    // the promote tolerates a concurrent recoverDictionary having
+    // completed it first (reader heal racing this writer between the two
+    // renames) — same treatment as the postings swap below
+    Fs.renameOrHealed(spark, s"$indexDir/dictionary_compact",
       s"$indexDir/dictionary")
     Fs.delete(spark, s"$indexDir/dict_deltas")
     Fs.delete(spark, s"$indexDir/dictionary_predelta")

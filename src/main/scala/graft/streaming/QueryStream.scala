@@ -54,6 +54,9 @@ object QueryStream {
             nBuckets: Int = 32,
             maxFilesPerTrigger: Int = 16): StreamingQuery = {
     import spark.implicits._
+    // a stale sentinel marker from a previous serve run would make
+    // awaitSentinel stop this one before any new query file is processed
+    Fs.delete(spark, s"$outDir/_EXIT")
     spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(queryDir)
@@ -99,7 +102,8 @@ object QueryStream {
 
   /** Block until the sentinel batch has been processed (or `timeoutMs`
     * elapses), then stop the stream. Returns true if the sentinel was
-    * seen. */
+    * seen; a FAILED stream rethrows its exception instead of masquerading
+    * as a timeout. */
   def awaitSentinel(spark: SparkSession, q: StreamingQuery, outDir: String,
                     timeoutMs: Long = 120000L): Boolean = {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
@@ -109,7 +113,9 @@ object QueryStream {
       seen = Fs.exists(spark, s"$outDir/_EXIT")
       if (!seen) Thread.sleep(50)
     }
+    val failure = q.exception
     q.stop()
+    failure.foreach(throw _) // a crashed serve must not exit as success
     seen
   }
 
