@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.corpus.{Corpus, Queries}
 import graft.index.Builder
 import graft.query.{HeadCache, Phrase, Searcher, Substring}
@@ -157,8 +158,7 @@ object Cli {
         // (gram, doc, n) rows with --origins
         // (/root/reference/src/gin_graph.c:164-280)
         val docs = spark.read.parquet(o("input"))
-          .select(org.apache.spark.sql.functions.col("doc_id"),
-            org.apache.spark.sql.functions.col("text"))
+          .select(col("doc_id"), col("text"))
         val kk = o.getOrElse("k", "3").toInt
         Some(if (flag(args, "origins")) graft.ops.Dedup.kgramOrigins(docs, kk)
              else graft.ops.Dedup.kgramSpectrum(docs, kk))
@@ -166,8 +166,7 @@ object Cli {
         // training-pipeline composite verdict (ops.Pipeline.cleanCorpus)
         Some(graft.ops.Pipeline.cleanCorpus(
           spark.read.parquet(o("input"))
-            .select(org.apache.spark.sql.functions.col("doc_id"),
-              org.apache.spark.sql.functions.col("text")),
+            .select(col("doc_id"), col("text")),
           keepLangs = o.getOrElse("keep-langs", "en").split(",").toSeq,
           minTokens = o.getOrElse("min-tokens", "20").toLong,
           maxTokens = o.getOrElse("max-tokens", "100000").toLong))

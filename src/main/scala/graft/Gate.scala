@@ -101,6 +101,21 @@ object Gate {
         UNION
         SELECT e.s, reach.r FROM edges e JOIN reach ON reach.doc_id = e.d)"""
 
+  /** Language-ID vote columns + CASE (DuckDB), generated from
+    * TextOps.LangMarkers — the same single source of truth the Spark
+    * column expression uses, so the marker lists cannot desync. */
+  private lazy val LangVotesSql: String =
+    graft.ops.TextOps.LangMarkers.map { case (lang, ms) =>
+      s"len(list_filter(t, x -> x IN (${ms.map(m => s"'$m'").mkString(",")}))) AS $lang"
+    }.mkString(",\n          ")
+
+  private val LangCaseSql: String =
+    """CASE WHEN en >= fr AND en >= de AND en >= es AND en > 0 THEN 'en'
+      |               WHEN fr >= de AND fr >= es AND fr > 0 THEN 'fr'
+      |               WHEN de >= es AND de > 0 THEN 'de'
+      |               WHEN es > 0 THEN 'es'
+      |               ELSE 'unknown' END""".stripMargin
+
   /** Minhash affine coefficients as SQL VALUES — generated from the SAME
     * CrossHash.minhashCoeff the Spark Aggregator uses. */
   private val MinhashCoeffSql: String = (0 until MinhashN).map { i =>
@@ -571,18 +586,11 @@ object Gate {
       cc AS (SELECT doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1),
       v AS (
         SELECT doc_id, len(t) AS n_tokens,
-          len(list_filter(t, x -> x IN ('the','and','of','is'))) AS en,
-          len(list_filter(t, x -> x IN ('le','la','et','les'))) AS fr,
-          len(list_filter(t, x -> x IN ('der','die','und','das'))) AS de,
-          len(list_filter(t, x -> x IN ('el','los','que','y'))) AS es
+          $LangVotesSql
         FROM tl),
       lang AS (
         SELECT doc_id, n_tokens,
-          CASE WHEN en >= fr AND en >= de AND en >= es AND en > 0 THEN 'en'
-               WHEN fr >= de AND fr >= es AND fr > 0 THEN 'fr'
-               WHEN de >= es AND de > 0 THEN 'de'
-               WHEN es > 0 THEN 'es'
-               ELSE 'unknown' END AS lang_pred
+          $LangCaseSql AS lang_pred
         FROM v),
       exg AS (SELECT sha256(text) AS h, min(doc_id) AS exact_rep
               FROM documents GROUP BY 1),
@@ -602,24 +610,14 @@ object Gate {
              drop_reason = 'keep' AS keep, drop_reason
       FROM verdict""",
 
-    "q_langid" -> """
-      WITH tl AS (SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
-                 x -> x <> '') AS t
-             FROM documents),
+    "q_langid" -> s"""
+      WITH $TlCte,
       v AS (
         SELECT doc_id,
-          len(list_filter(t, x -> x IN ('the','and','of','is'))) AS en,
-          len(list_filter(t, x -> x IN ('le','la','et','les'))) AS fr,
-          len(list_filter(t, x -> x IN ('der','die','und','das'))) AS de,
-          len(list_filter(t, x -> x IN ('el','los','que','y'))) AS es
+          $LangVotesSql
         FROM tl)
       SELECT doc_id,
-        CASE WHEN en >= fr AND en >= de AND en >= es AND en > 0 THEN 'en'
-             WHEN fr >= de AND fr >= es AND fr > 0 THEN 'fr'
-             WHEN de >= es AND de > 0 THEN 'de'
-             WHEN es > 0 THEN 'es'
-             ELSE 'unknown' END AS lang_pred
+        $LangCaseSql AS lang_pred
       FROM v""",
 
     "q_quality" -> """

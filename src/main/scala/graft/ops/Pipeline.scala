@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.index.Builder
 
@@ -40,22 +40,13 @@ object Pipeline {
                   shingleK: Int = 3,
                   minJaccard: Double = 0.5,
                   maxShingleDf: Long = 10000L): DataFrame = {
-    // quality + language in ONE corpus scan (pure column expressions)
+    // quality + language in ONE corpus scan (pure column expressions;
+    // lang_pred is the SAME expression TextOps.langId selects)
     val toks = Builder.tokensCol(col("text"))
-    def votes(markers: Seq[String]): Column =
-      size(filter(toks, t => t.isin(markers.map(lit): _*)))
-    val en = votes(Seq("the", "and", "of", "is"))
-    val fr = votes(Seq("le", "la", "et", "les"))
-    val de = votes(Seq("der", "die", "und", "das"))
-    val es = votes(Seq("el", "los", "que", "y"))
     val sig = docs.select(
       col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
-      when(en >= fr && en >= de && en >= es && en > 0, "en")
-        .when(fr >= de && fr >= es && fr > 0, "fr")
-        .when(de >= es && de > 0, "de")
-        .when(es > 0, "es")
-        .otherwise("unknown").as("lang_pred"))
+      TextOps.langPredCol(toks).as("lang_pred"))
 
     // exact-duplicate representative: min doc_id per content hash
     val sha = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))

@@ -39,25 +39,35 @@ object TextOps {
       (nTok >= 10 && nTok <= 100000).as("quality_ok"))
   }
 
+  /** Marker-token vote lists for the language-ID heuristic — the single
+    * source of truth, mirrored verbatim into the oracle SQL (Gate). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "es" -> Seq("el", "los", "que", "y"))
+
+  /** lang_pred as a pure column expression over a tokens column (shared
+    * by langId and Pipeline.cleanCorpus, which folds it into its one
+    * combined corpus scan). Tie-break: earlier LangMarkers entry wins. */
+  def langPredCol(toks: Column): Column = {
+    def votes(markers: Seq[String]): Column =
+      size(filter(toks, t => t.isin(markers.map(lit): _*)))
+    val v = LangMarkers.map { case (lang, ms) => lang -> votes(ms) }
+    val Seq(en, fr, de, es) = v.map(_._2)
+    when(en >= fr && en >= de && en >= es && en > 0, "en")
+      .when(fr >= de && fr >= es && fr > 0, "fr")
+      .when(de >= es && de > 0, "de")
+      .when(es > 0, "es")
+      .otherwise("unknown")
+  }
+
   /** Language-ID heuristic: stopword/marker-token votes with a
     * deterministic tie-break. (A real model is out of scope; the operator
     * shape — cheap per-doc scoring over markers — is what scales.) */
-  def langId(docs: DataFrame): DataFrame = {
-    val toks = Builder.tokensCol(col("text"))
-    def votes(markers: Seq[String]): Column =
-      size(filter(toks, t => t.isin(markers.map(lit): _*)))
-    val en = votes(Seq("the", "and", "of", "is"))
-    val fr = votes(Seq("le", "la", "et", "les"))
-    val de = votes(Seq("der", "die", "und", "das"))
-    val es = votes(Seq("el", "los", "que", "y"))
-    docs.select(
-      col("doc_id"),
-      when(en >= fr && en >= de && en >= es && en > 0, "en")
-        .when(fr >= de && fr >= es && fr > 0, "fr")
-        .when(de >= es && de > 0, "de")
-        .when(es > 0, "es")
-        .otherwise("unknown").as("lang_pred"))
-  }
+  def langId(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      langPredCol(Builder.tokensCol(col("text"))).as("lang_pred"))
 
   /** Rolling polynomial fingerprint over tokens (doc-level dedup key that
     * ignores whitespace/punctuation differences): base-31 polynomial of
