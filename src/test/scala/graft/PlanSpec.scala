@@ -150,4 +150,23 @@ class PlanSpec extends SparkTestBase {
     // the block scan stage itself is whole-stage codegen'd ("*(n)")
     assert(plan.contains("*("), plan)
   }
+
+  test("snippets broadcast the capped match table against a pruned corpus scan") {
+    val d = tmpDir("plan-idx3")
+    Builder.build(spark, Synth.corpus(spark, 120, seed = 5L), d,
+      Builder.Config(blockSize = 16, nBuckets = 8, nSegments = 2,
+        saltTarget = 60, storeTrigrams = true))
+    val pat = Synth.doc(5L, 7L).content.substring(0, 20)
+    val df = graft.query.Substring.snippets(spark, d, Seq(1L -> pat),
+      ctx = 10, nBuckets = 8, maxMatches = 20L)
+    df.collect() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the final content join must be broadcast (capped offsets side),
+    // never a shuffle of the corpus
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the corpus scan is column-pruned to exactly (doc_id, content)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,content:string>"),
+      plan)
+  }
 }
