@@ -170,4 +170,25 @@ class CoreSpec extends AnyFunSuite with PropHelpers {
       assert(agg.finish(merged) == want)
     }
   }
+
+  test("property: occurrenceOffsets == code-point brute force (incl. surrogates)") {
+    // alphabet mixes BMP chars with a supplementary-plane char (surrogate
+    // pair in UTF-16) so code-unit and code-point indices diverge
+    val alpha = Seq("a", "b", "😀")
+    val gen = for {
+      content <- Gen.listOf(Gen.oneOf(alpha)).map(_.mkString)
+      patLen <- Gen.chooseNum(1, 3)
+      pat <- Gen.listOfN(patLen, Gen.oneOf(alpha)).map(_.mkString)
+    } yield (content, pat)
+    forAll(gen) { case (content, pat) =>
+      val got = graft.query.Substring.occurrenceOffsets(content, pat).toSeq
+      // brute force in the code-point domain
+      val cps = content.codePoints().toArray.toSeq
+      val pcs = pat.codePoints().toArray.toSeq
+      val want = (0 to cps.length - pcs.length)
+        .filter(i => cps.slice(i, i + pcs.length) == pcs)
+        .map(_.toLong)
+      assert(got == want, s"content=$content pat=$pat")
+    }
+  }
 }
