@@ -48,6 +48,7 @@ object Gate {
   val LshDims = 64            // embedding dimensionality
   val AnnMaxBucket = 1000L    // drop degenerate (table, bucket) keys with
   val NdMaxBucket = 1000L     //   more members than this (|bucket|² guard)
+  val NdMinCos = 0.4          // cosine near-dup pair threshold
   val OffsetsMaxMatches = 200L // --max-matches cap for the full offset
                                //   decode gate (smallest (doc, offset))
   val IvfCentroids = 16       // IVF coarse cells (deterministic seed set)
@@ -115,6 +116,30 @@ object Gate {
       |               WHEN de >= es AND de > 0 THEN 'de'
       |               WHEN es > 0 THEN 'es'
       |               ELSE 'unknown' END""".stripMargin
+
+  /** Shared cosine near-dup pair CTEs (DuckDB; must follow
+    * lshCtes(NdPlanes, NdTables)): bucket-capped LSH candidates ->
+    * exact-cosine re-rank. Used by q_cosine_neardup and
+    * q_embed_clusters (identical constants). */
+  private lazy val CosinePairCtes = s"""
+      okb AS (SELECT t, bucket FROM buck GROUP BY t, bucket
+              HAVING count(*) <= $NdMaxBucket),
+      buckc AS (SELECT buck.* FROM buck JOIN okb USING (t, bucket)),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM buckc a JOIN buckc b
+          ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      dots AS (
+        SELECT cd.doc_a, cd.doc_b, sum(a.v * b.v) AS dot
+        FROM cand cd
+        JOIN ex a ON a.vec_id = cd.doc_a
+        JOIN ex b ON b.vec_id = cd.doc_b AND b.pos = a.pos
+        GROUP BY 1, 2),
+      cosv AS (
+        SELECT d.doc_a, d.doc_b, round(d.dot / (na.nrm * nb.nrm), 6) AS cos
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.doc_a
+        JOIN norms nb ON nb.vec_id = d.doc_b)"""
 
   /** Minhash affine coefficients as SQL VALUES — generated from the SAME
     * CrossHash.minhashCoeff the Spark Aggregator uses. */
@@ -397,11 +422,24 @@ object Gate {
   }
 
   def qCosineNearDup(s: SparkSession, dir: String): DataFrame =
-    Ann.cosineNearDupPairs(embs(s, dir), minCos = 0.4,
+    Ann.cosineNearDupPairs(embs(s, dir), minCos = NdMinCos,
         nPlanes = NdPlanes, nTables = NdTables, dims = LshDims,
         maxBucket = NdMaxBucket)
       .select(col("doc_a").cast("long"), col("doc_b").cast("long"),
         col("cos"))
+
+  /** Embedding near-dup clusters: cosine pair graph (same constants as
+    * q_cosine_neardup) closed into connected components. */
+  def qEmbedClusters(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val pairs = Ann.cosineNearDupPairs(e, minCos = NdMinCos,
+      nPlanes = NdPlanes, nTables = NdTables, dims = LshDims,
+      maxBucket = NdMaxBucket)
+    graft.ops.Dedup.connectedComponents(
+        e.select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").cast("long").as("vec_id"),
+        col("cluster_rep").cast("long"))
+  }
 
   def qSpectrumK3(s: SparkSession, dir: String): DataFrame =
     Dedup.kgramSpectrum(docs(s, dir), 3)
@@ -770,26 +808,22 @@ object Gate {
       SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5""",
 
     "q_cosine_neardup" -> s"""
-      WITH ${lshCtes(NdPlanes, NdTables)},
-      okb AS (SELECT t, bucket FROM buck GROUP BY t, bucket
-              HAVING count(*) <= $NdMaxBucket),
-      buckc AS (SELECT buck.* FROM buck JOIN okb USING (t, bucket)),
-      cand AS (
-        SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
-        FROM buckc a JOIN buckc b
-          ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-      dots AS (
-        SELECT cd.doc_a, cd.doc_b, sum(a.v * b.v) AS dot
-        FROM cand cd
-        JOIN ex a ON a.vec_id = cd.doc_a
-        JOIN ex b ON b.vec_id = cd.doc_b AND b.pos = a.pos
-        GROUP BY 1, 2),
-      cosv AS (
-        SELECT d.doc_a, d.doc_b, round(d.dot / (na.nrm * nb.nrm), 6) AS cos
-        FROM dots d
-        JOIN norms na ON na.vec_id = d.doc_a
-        JOIN norms nb ON nb.vec_id = d.doc_b)
-      SELECT doc_a, doc_b, cos FROM cosv WHERE cos >= 0.4""",
+      WITH ${lshCtes(NdPlanes, NdTables)},$CosinePairCtes
+      SELECT doc_a, doc_b, cos FROM cosv WHERE cos >= $NdMinCos""",
+
+    // embedding near-dup clusters: the same pair graph closed into
+    // connected components (min reachable vec_id = cluster rep)
+    "q_embed_clusters" -> s"""
+      WITH RECURSIVE ${lshCtes(NdPlanes, NdTables)},$CosinePairCtes,
+      epr AS (SELECT doc_a, doc_b FROM cosv WHERE cos >= $NdMinCos),
+      eedges AS (SELECT doc_a AS s, doc_b AS d FROM epr
+                 UNION ALL SELECT doc_b, doc_a FROM epr),
+      ereach(vec_id, r) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT g.s, ereach.r
+        FROM eedges g JOIN ereach ON ereach.vec_id = g.d)
+      SELECT vec_id, min(r) AS cluster_rep FROM ereach GROUP BY 1""",
 
     "q_multimodal" -> """
       SELECT doc_id, 'text/plain' AS media_type,
@@ -1009,6 +1043,7 @@ object Gate {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_cosine_neardup" -> (qCosineNearDup _),
+    "q_embed_clusters" -> (qEmbedClusters _),
     "q_spectrum_k3" -> (qSpectrumK3 _),
     "q_spectrum_origins" -> (qSpectrumOrigins _),
     "q_substring" -> (qSubstring _),
