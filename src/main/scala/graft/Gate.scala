@@ -110,12 +110,16 @@ object Gate {
       s"len(list_filter(t, x -> x IN (${ms.map(m => s"'$m'").mkString(",")}))) AS $lang"
     }.mkString(",\n          ")
 
-  private val LangCaseSql: String =
-    """CASE WHEN en >= fr AND en >= de AND en >= es AND en > 0 THEN 'en'
-      |               WHEN fr >= de AND fr >= es AND fr > 0 THEN 'fr'
-      |               WHEN de >= es AND de > 0 THEN 'de'
-      |               WHEN es > 0 THEN 'es'
-      |               ELSE 'unknown' END""".stripMargin
+  /** Precedence CASE generated from the SAME LangMarkers order as
+    * TextOps.langPredCol: lang i wins when it has votes and no later
+    * entry outvotes it. Adding a language updates both engines. */
+  private lazy val LangCaseSql: String = {
+    val langs = graft.ops.TextOps.LangMarkers.map(_._1)
+    langs.zipWithIndex.map { case (lang, i) =>
+      val conds = s"$lang > 0" +: langs.drop(i + 1).map(l => s"$lang >= $l")
+      s"WHEN ${conds.mkString(" AND ")} THEN '$lang'"
+    }.mkString("CASE ", "\n               ", "\n               ELSE 'unknown' END")
+  }
 
   /** Shared cosine near-dup pair CTEs (DuckDB; must follow
     * lshCtes(NdPlanes, NdTables)): bucket-capped LSH candidates ->

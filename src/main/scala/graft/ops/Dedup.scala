@@ -22,6 +22,17 @@ import graft.util.CrossHash
   */
 object Dedup {
 
+  /** Lineage truncation shared by jaccardPairs and connectedComponents:
+    * RELIABLE checkpoint when the session has a checkpoint dir (survives
+    * executor loss — required on a real cluster where a deep recompute
+    * cascade would be fatal), localCheckpoint otherwise (single-host
+    * dev/test). Eager in both forms: the input's upstream caches can be
+    * released as soon as this returns. */
+  private def truncate(spark: org.apache.spark.sql.SparkSession,
+                       df: DataFrame): DataFrame =
+    if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   /** Exact duplicate groups by content hash. One shuffle over
     * (hash -> count, representative). */
   def exactGroups(docs: DataFrame): DataFrame =
@@ -121,7 +132,7 @@ object Dedup {
         && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    common
+    val pairs = common
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
@@ -130,6 +141,12 @@ object Dedup {
         (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("raw_j") >= minJ)
       .select(col("doc_a"), col("doc_b"), round(col("raw_j"), 6).as("jaccard"))
+    // materialize the (small, threshold-filtered) pair set NOW so the
+    // shingle universe can be released immediately — otherwise every
+    // call leaks one persisted shingle table for the session lifetime
+    val out = truncate(docs.sparkSession, pairs)
+    sh.unpersist()
+    out
   }
 
   // ---- MinHash + LSH --------------------------------------------------
@@ -236,19 +253,13 @@ object Dedup {
                           maxIter: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = docs.sparkSession
-    // lineage truncation per round: RELIABLE checkpoint when the session
-    // has a checkpoint dir (survives executor loss — required on a real
-    // cluster where an iteration-20 recompute cascade would be fatal),
-    // localCheckpoint otherwise (single-host dev/test)
-    def truncate(df: DataFrame): DataFrame =
-      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
+    def trunc(df: DataFrame): DataFrame = truncate(spark, df)
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"),
         col("doc_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = truncate(docs.select(col("doc_id"),
+    var labels = trunc(docs.select(col("doc_id"),
       col("doc_id").cast("long").as("cluster_rep")))
     // exact decimal sum: labels may be hash-derived (full Long range),
     // where a bigint SUM overflows — ANSI mode turns that into a job
@@ -267,7 +278,7 @@ object Dedup {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src"))
         .agg(min("cluster_rep").as("nbr_rep"))
-      val next = truncate(labels.join(nbrMin,
+      val next = trunc(labels.join(nbrMin,
           labels("doc_id") === nbrMin("src"), "left")
         .select(labels("doc_id"),
           least(col("cluster_rep"),
@@ -275,6 +286,10 @@ object Dedup {
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
+      // `next` is already materialized (truncate is eager), so the
+      // superseded round's checkpoint blocks can be released — without
+      // this, up to maxIter label frames accumulate per call
+      labels.unpersist()
       labels = next
       iter += 1
     }

@@ -54,12 +54,15 @@ object TextOps {
     def votes(markers: Seq[String]): Column =
       size(filter(toks, t => t.isin(markers.map(lit): _*)))
     val v = LangMarkers.map { case (lang, ms) => lang -> votes(ms) }
-    val Seq(en, fr, de, es) = v.map(_._2)
-    when(en >= fr && en >= de && en >= es && en > 0, "en")
-      .when(fr >= de && fr >= es && fr > 0, "fr")
-      .when(de >= es && de > 0, "de")
-      .when(es > 0, "es")
-      .otherwise("unknown")
+    // lang i wins when it has votes and no LATER entry outvotes it —
+    // generated from LangMarkers (as is the oracle CASE in Gate), so
+    // adding a language cannot desync the two engines
+    val cases = v.zipWithIndex.map { case ((lang, vi), i) =>
+      v.drop(i + 1).map(_._2).foldLeft(vi > lit(0))(_ && vi >= _) -> lang
+    }
+    cases.tail.foldLeft(when(cases.head._1, cases.head._2)) {
+      case (acc, (cond, lang)) => acc.when(cond, lang)
+    }.otherwise("unknown")
   }
 
   /** Language-ID heuristic: stopword/marker-token votes with a

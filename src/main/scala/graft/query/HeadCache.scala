@@ -33,8 +33,9 @@ import graft.util.Fs
   * Layout: `indexDir/head_cache/` (term, rank, doc_id, score),
   * `indexDir/head_cache2/` (term_a, term_b, rank, doc_id, score),
   * `indexDir/head_cache3/` (term_a, term_b, term_c, rank, doc_id,
-  * score), with `_COMMIT_head_cache{,2,3}` markers carrying (minDf, k)
-  * / (n, k).
+  * score), with `_COMMIT_head_cache{,2,3}` markers carrying (minDf, k,
+  * rows) / (n, k, rows) — `rows` is counted at build time so load's
+  * size guard never runs a count job.
   */
 object HeadCache {
 
@@ -46,8 +47,19 @@ object HeadCache {
     * cached). */
   val MaxCacheRows = 5000000L
 
-  private def rowCountOk(spark: SparkSession, path: String): Boolean =
-    spark.read.parquet(path).count() <= MaxCacheRows
+  /** Row count for the marker stamp — one count job at BUILD time, so
+    * load never has to pay it (see sizeOk). */
+  private def countRows(spark: SparkSession, path: String): Long =
+    spark.read.parquet(path).count()
+
+  /** Load-time size guard: trust the row count the build stamped into
+    * the commit marker (markers are written only after a complete,
+    * counted write); a legacy marker without the stamp falls back to
+    * counting — the only case that still pays a Spark job on the
+    * index-open path. */
+  private def sizeOk(spark: SparkSession, meta: String, path: String): Boolean =
+    """"rows":(\d+)""".r.findFirstMatchIn(meta).map(_.group(1).toLong)
+      .getOrElse(countRows(spark, path)) <= MaxCacheRows
 
   /** Precompute depth-1 top-k for all terms with df >= minDf.
     * Distributed: decode -> JVM-exact score -> TopKAgg by term. */
@@ -95,7 +107,7 @@ object HeadCache {
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/head_cache")
     }
     Fs.write(spark, s"$indexDir/_COMMIT_head_cache",
-      s"""{"minDf":$minDf,"k":$k}""")
+      s"""{"minDf":$minDf,"k":$k,"rows":${countRows(spark, s"$indexDir/head_cache")}}""")
     IndexHandle.invalidate(spark, indexDir)
   }
 
@@ -146,7 +158,7 @@ object HeadCache {
       byIdB.destroy() // one broadcast per batch: release, don't accumulate
     }
     Fs.write(spark, s"$indexDir/_COMMIT_head_cache2",
-      s"""{"n":$maxPairTerms,"k":$k}""")
+      s"""{"n":$maxPairTerms,"k":$k,"rows":${countRows(spark, s"$indexDir/head_cache2")}}""")
     IndexHandle.invalidate(spark, indexDir)
   }
 
@@ -193,7 +205,7 @@ object HeadCache {
       byIdB.destroy()
     }
     Fs.write(spark, s"$indexDir/_COMMIT_head_cache3",
-      s"""{"n":$maxTripleTerms,"k":$k}""")
+      s"""{"n":$maxTripleTerms,"k":$k,"rows":${countRows(spark, s"$indexDir/head_cache3")}}""")
     IndexHandle.invalidate(spark, indexDir)
   }
 
@@ -202,9 +214,9 @@ object HeadCache {
     import spark.implicits._
     val marker = s"$indexDir/_COMMIT_head_cache"
     if (!Fs.exists(spark, marker) ||
-        !Fs.exists(spark, s"$indexDir/head_cache") ||
-        !rowCountOk(spark, s"$indexDir/head_cache")) return (Map.empty, 0)
+        !Fs.exists(spark, s"$indexDir/head_cache")) return (Map.empty, 0)
     val meta = Fs.read(spark, marker)
+    if (!sizeOk(spark, meta, s"$indexDir/head_cache")) return (Map.empty, 0)
     val k = """"k":(\d+)""".r.findFirstMatchIn(meta).map(_.group(1).toInt).getOrElse(0)
     val m = spark.read.parquet(s"$indexDir/head_cache")
       .select("term", "rank", "doc_id", "score")
@@ -221,9 +233,9 @@ object HeadCache {
     import spark.implicits._
     val marker = s"$indexDir/_COMMIT_head_cache2"
     if (!Fs.exists(spark, marker) ||
-        !Fs.exists(spark, s"$indexDir/head_cache2") ||
-        !rowCountOk(spark, s"$indexDir/head_cache2")) return (Map.empty, 0)
+        !Fs.exists(spark, s"$indexDir/head_cache2")) return (Map.empty, 0)
     val meta = Fs.read(spark, marker)
+    if (!sizeOk(spark, meta, s"$indexDir/head_cache2")) return (Map.empty, 0)
     val k = """"k":(\d+)""".r.findFirstMatchIn(meta).map(_.group(1).toInt).getOrElse(0)
     val m = spark.read.parquet(s"$indexDir/head_cache2")
       .select("term_a", "term_b", "rank", "doc_id", "score")
@@ -240,9 +252,9 @@ object HeadCache {
     import spark.implicits._
     val marker = s"$indexDir/_COMMIT_head_cache3"
     if (!Fs.exists(spark, marker) ||
-        !Fs.exists(spark, s"$indexDir/head_cache3") ||
-        !rowCountOk(spark, s"$indexDir/head_cache3")) return (Map.empty, 0)
+        !Fs.exists(spark, s"$indexDir/head_cache3")) return (Map.empty, 0)
     val meta = Fs.read(spark, marker)
+    if (!sizeOk(spark, meta, s"$indexDir/head_cache3")) return (Map.empty, 0)
     val k = """"k":(\d+)""".r.findFirstMatchIn(meta).map(_.group(1).toInt).getOrElse(0)
     val m = spark.read.parquet(s"$indexDir/head_cache3")
       .select("term_a", "term_b", "term_c", "rank", "doc_id", "score")

@@ -55,10 +55,11 @@ object Searcher {
   /** Per-query work counters from the last DRIVER-loop WAND invocation —
     * the reference's per-query stats (gin.c:1118-1151). Keyed by
     * query_id. NOT populated by the executor path (counters would live in
-    * executor JVMs) or the relational path: batches >= ExecBatchThreshold
-    * leave entries from earlier driver-loop calls in place, so consumers
-    * (e.g. decoded-fraction instrumentation) must use driver-loop-sized
-    * batches or call searchTopKWand directly. */
+    * executor JVMs) or the relational path; the dispatcher CLEARS the map
+    * when it routes to either, so consumers see "no counters for this
+    * batch" rather than silently-stale entries from an earlier
+    * driver-loop call. Instrumentation that needs counters must use
+    * searchTopKWand directly. */
   val lastStats = new java.util.concurrent.ConcurrentHashMap[Long, Wand.QueryStats]()
 
   /** Shared pool for the driver-side WAND serving loop. */
@@ -78,11 +79,13 @@ object Searcher {
     val handle = IndexHandle.open(spark, indexDir, nBuckets)
     val allTerms = queries.flatMap(q => Tokenizer.tokens(q.text)).distinct
     val dfSum = handle.dfOf(allTerms).values.sum
-    if (dfSum > WandDfCap)
+    if (dfSum > WandDfCap) {
+      lastStats.clear() // no per-query counters on this path (see doc)
       searchTopKRelational(spark, indexDir, queries, k, mode, nBuckets)
-    else if (queries.size >= ExecBatchThreshold)
+    } else if (queries.size >= ExecBatchThreshold) {
+      lastStats.clear() // counters live in executor JVMs (see doc)
       searchTopKWandExecutors(spark, indexDir, queries, k, mode, nBuckets)
-    else
+    } else
       searchTopKWand(spark, indexDir, queries, k, mode, nBuckets)
   }
 

@@ -26,7 +26,10 @@ case class SubMatch(doc_id: Long, n_matches: Long, first_offset: Long)
 class MinKByDocAgg(k: Int)
     extends Aggregator[SubMatch, List[SubMatch], Seq[SubMatch]] {
   private def insert(buf: List[SubMatch], x: SubMatch): List[SubMatch] =
-    if (buf.lengthCompare(k) >= 0 && x.doc_id >= buf.last.doc_id) buf
+    // buf.nonEmpty guards k <= 0 (empty buf "full"): fall through to the
+    // else branch, whose take(k) keeps the buffer empty instead of
+    // crashing on buf.last
+    if (buf.nonEmpty && buf.lengthCompare(k) >= 0 && x.doc_id >= buf.last.doc_id) buf
     else {
       val (pre, post) = buf.span(_.doc_id < x.doc_id)
       (pre ::: (x :: post)).take(k)
@@ -50,7 +53,7 @@ class MinKPairAgg(k: Int)
     a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
   private def insert(buf: List[(Long, Long)],
                      x: (Long, Long)): List[(Long, Long)] =
-    if (buf.lengthCompare(k) >= 0 && !lt(x, buf.last)) buf
+    if (buf.nonEmpty && buf.lengthCompare(k) >= 0 && !lt(x, buf.last)) buf
     else {
       val (pre, post) = buf.span(lt(_, x))
       (pre ::: (x :: post)).take(k)
@@ -71,7 +74,7 @@ class MinKPairAgg(k: Int)
   * doc_ids" is a deterministic cap (same shape as MinKByDocAgg). */
 class MinKLongAgg(k: Int) extends Aggregator[Long, List[Long], Seq[Long]] {
   private def insert(buf: List[Long], x: Long): List[Long] =
-    if (buf.lengthCompare(k) >= 0 && x >= buf.last) buf
+    if (buf.nonEmpty && buf.lengthCompare(k) >= 0 && x >= buf.last) buf
     else {
       val (pre, post) = buf.span(_ < x)
       (pre ::: (x :: post)).take(k)
@@ -89,8 +92,8 @@ class TopKAgg(k: Int) extends Aggregator[Scored, List[Scored], Seq[Scored]] {
     a.score > b.score || (a.score == b.score && a.doc_id < b.doc_id)
 
   private def insert(buf: List[Scored], x: Scored): List[Scored] = {
-    // buf kept sorted best-first, length <= k
-    if (buf.lengthCompare(k) >= 0 && !better(x, buf.last)) buf
+    // buf kept sorted best-first, length <= k (nonEmpty: see MinKByDocAgg)
+    if (buf.nonEmpty && buf.lengthCompare(k) >= 0 && !better(x, buf.last)) buf
     else {
       val (pre, post) = buf.span(better(_, x))
       (pre ::: (x :: post)).take(k)

@@ -54,9 +54,20 @@ object QueryStream {
             nBuckets: Int = 32,
             maxFilesPerTrigger: Int = 16): StreamingQuery = {
     import spark.implicits._
-    // a stale sentinel marker from a previous serve run would make
-    // awaitSentinel stop this one before any new query file is processed
-    Fs.delete(spark, s"$outDir/_EXIT")
+    // a stale _EXIT from a previous COMPLETED session would make
+    // awaitSentinel stop this one before any new file is processed — and
+    // the retained checkpoint would skip every already-consumed query
+    // file (including the sentinel), leaving the new session hung until
+    // its timeout. A present _EXIT marks a finished session, so reusing
+    // its out-dir means "start a new session over the same directories":
+    // drop the checkpoint with it (per-batch results are rewritten
+    // idempotently via Overwrite). A MISSING _EXIT with a live checkpoint
+    // is a crashed session — keep the checkpoint so the stream resumes
+    // exactly where it died.
+    if (Fs.exists(spark, s"$outDir/_EXIT")) {
+      Fs.delete(spark, s"$outDir/_EXIT")
+      Fs.delete(spark, s"$outDir/_checkpoint")
+    }
     spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(queryDir)
@@ -85,7 +96,10 @@ object QueryStream {
         "files or lower maxFilesPerTrigger")
     val lines = collected.map(_.trim).filter(_.nonEmpty)
     val sawSentinel = lines.contains(Queries.Sentinel)
-    val qs = lines.filter(_ != Queries.Sentinel).distinct.sorted.zipWithIndex
+    // duplicates are KEPT (each line is answered, like the reference
+    // REPL); the sort alone makes ids replay-stable, duplicate texts
+    // just occupy adjacent ids
+    val qs = lines.filter(_ != Queries.Sentinel).sorted.zipWithIndex
       .map { case (text, i) =>
         Searcher.Query(batchId * IdStride + i + 1L, text)
       }.toSeq
@@ -119,9 +133,22 @@ object QueryStream {
     seen
   }
 
+  /** Result schema (batch_id is the partition column). Declared
+    * explicitly so an empty or missing results directory — a session
+    * whose only input was the sentinel — reads as an empty frame of the
+    * same shape instead of failing schema inference. */
+  private val ResultsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "query_id BIGINT, text STRING, rank INT, doc_id BIGINT, " +
+      "score DOUBLE, batch_id BIGINT")
+
   /** All results so far as one DataFrame (partition-discovered
     * batch_id). */
   def results(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.option("basePath", s"$outDir/results")
-      .parquet(s"$outDir/results")
+    if (!Fs.exists(spark, s"$outDir/results"))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ResultsSchema)
+    else
+      spark.read.option("basePath", s"$outDir/results")
+        .schema(ResultsSchema)
+        .parquet(s"$outDir/results")
 }

@@ -191,4 +191,17 @@ class CoreSpec extends AnyFunSuite with PropHelpers {
       assert(got == want, s"content=$content pat=$pat")
     }
   }
+
+  test("bounded aggregators: k = 0 keeps nothing instead of crashing") {
+    // an empty buffer is already "full" at k = 0; the guard must not
+    // evaluate buf.last on it (CLI --max-matches 0 reaches this)
+    val p = new MinKPairAgg(0)
+    assert(p.merge(p.reduce(p.zero, (1L, 2L)), p.reduce(p.zero, (3L, 4L))) == Nil)
+    val l = new MinKLongAgg(0)
+    assert(l.merge(l.reduce(l.zero, 5L), l.reduce(l.zero, 7L)) == Nil)
+    val d = new graft.query.MinKByDocAgg(0)
+    assert(d.reduce(d.zero, graft.query.SubMatch(1L, 1L, 0L)) == Nil)
+    val t = new TopKAgg(0)
+    assert(t.reduce(t.zero, Scored(1L, 1.0)) == Nil)
+  }
 }

@@ -400,4 +400,48 @@ class StreamingSpec extends SparkTestBase {
         dir, outDir, 99L, 5, Searcher.And, 8)
     }
   }
+
+  test("query stream: sentinel-only session, duplicate lines, out-dir reuse") {
+    import spark.implicits._
+    import graft.streaming.QueryStream
+    val all = (0L until 60L).map(i => Synth.doc(11L, i))
+    val dir = tmpDir("qs2-idx")
+    Builder.build(spark, all.toDF(), dir, Builder.Config(blockSize = 16,
+      nBuckets = 8, nSegments = 2, saltTarget = 40))
+    val t = graft.index.Tokenizer.tokens(Synth.doc(11L, 3L).content)
+    def writeFile(qdir: String, name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(qdir, name),
+        scala.jdk.CollectionConverters.SeqHasAsJava(lines).asJava)
+
+    // a session whose only input is the sentinel: results() must read as
+    // an empty frame of the declared schema, not fail on a missing path
+    val qDir = tmpDir("qs2-in")
+    val outDir = tmpDir("qs2-out")
+    writeFile(qDir, "exit.txt", Seq(graft.corpus.Queries.Sentinel))
+    val q1 = QueryStream.serve(spark, dir, qDir, outDir, k = 3, nBuckets = 8)
+    try assert(QueryStream.awaitSentinel(spark, q1, outDir))
+    finally if (q1.isActive) q1.stop()
+    assert(QueryStream.results(spark, outDir).count() == 0)
+
+    // duplicate query lines in one batch are each answered (adjacent
+    // replay-stable ids), like the reference REPL answering every line
+    QueryStream.serveBatch(spark, Seq(t(0), t(0)).toDF("value"),
+      dir, outDir, 5L, 3, Searcher.And, 8)
+    val dup = QueryStream.results(spark, outDir)
+      .filter(col("text") === t(0))
+    assert(dup.select("query_id").distinct().count() == 2,
+      "both duplicate lines answered under their own ids")
+
+    // reusing a COMPLETED session's out-dir starts a fresh session: the
+    // checkpoint is dropped with the _EXIT marker, so the new stream
+    // must reach its sentinel instead of hanging until timeout
+    writeFile(qDir, "q2.txt", Seq(t(1), graft.corpus.Queries.Sentinel))
+    val q2 = QueryStream.serve(spark, dir, qDir, outDir, k = 3, nBuckets = 8)
+    try assert(QueryStream.awaitSentinel(spark, q2, outDir, timeoutMs = 60000L),
+      "restarted session never reached its sentinel (stale checkpoint?)")
+    finally if (q2.isActive) q2.stop()
+    assert(QueryStream.results(spark, outDir)
+      .filter(col("text") === t(1)).count() > 0)
+  }
 }
