@@ -27,11 +27,30 @@ object Dedup {
     * executor loss — required on a real cluster where a deep recompute
     * cascade would be fatal), localCheckpoint otherwise (single-host
     * dev/test). Eager in both forms: the input's upstream caches can be
-    * released as soon as this returns. */
+    * released as soon as this returns.
+    *
+    * The reliable form checkpoints THROUGH a transient cache: Spark's
+    * df.checkpoint() runs one job to count and a second to write the
+    * checkpoint files, recomputing the plan unless its data is already
+    * cached — for the expensive frames passed here (the shingle
+    * self-join) that recompute would double the dominant cost. The cache
+    * is dropped as soon as the checkpoint files exist. */
   private def truncate(spark: org.apache.spark.sql.SparkSession,
                        df: DataFrame): DataFrame =
-    if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+    if (spark.sparkContext.getCheckpointDir.isDefined) {
+      val cached =
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ck = cached.checkpoint() // 1st job fills the cache, 2nd reads it
+      cached.unpersist()
+      ck
+    } else df.localCheckpoint()
+
+  /** Checkpoint cadence for iterative loops: rounds between
+    * lineage-truncating checkpoints in connectedComponents. Bounds both
+    * plan growth and the executor-loss recompute depth at this many
+    * rounds, while letting every intermediate round's cache be released
+    * eagerly (checkpointed frames cannot be). */
+  private val LineageCutInterval = 5
 
   /** Exact duplicate groups by content hash. One shuffle over
     * (hash -> count, representative). */
@@ -242,11 +261,16 @@ object Dedup {
     * takes min(own label, neighbors' labels); converges in O(component
     * diameter) rounds. Near-dup components are dense and shallow (they
     * approximate cliques), so the round count stays small at corpus
-    * scale; each round is one join + one aggregation, lineage truncated
-    * by localCheckpoint so the loop's plan does not grow. Convergence is
-    * detected by the label SUM: labels only ever decrease, so an
-    * unchanged sum is a fixpoint — one cheap agg instead of a
-    * change-count join.
+    * scale; each round is one join + one aggregation. Storage discipline
+    * is the Pregel pattern: each round's labels are persisted and the
+    * superseded round's cache is RELEASED once the new one is
+    * materialized (unpersist on a checkpointed frame is a no-op — only
+    * persisted frames can be freed eagerly), with a lineage-truncating
+    * checkpoint every LineageCutInterval rounds so neither the plan nor
+    * the recompute-on-executor-loss depth grows without bound.
+    * Convergence is detected by the label SUM: labels only ever
+    * decrease, so an unchanged sum is a fixpoint — one cheap agg
+    * instead of a change-count join.
     *
     * Returns (doc_id, cluster_rep). */
   def connectedComponents(docs: DataFrame, pairs: DataFrame,
@@ -259,15 +283,20 @@ object Dedup {
       .unionByName(pairs.select(col("doc_b").as("src"),
         col("doc_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = trunc(docs.select(col("doc_id"),
-      col("doc_id").cast("long").as("cluster_rep")))
+    // owned = WE persisted it (unpersist releases it); a checkpointed
+    // frame is not in the CacheManager, so unpersist would be a no-op —
+    // those are freed by the context cleaner / checkpoint GC instead
+    var labels = docs.select(col("doc_id"),
+      col("doc_id").cast("long").as("cluster_rep"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labelsOwned = true
     // exact decimal sum: labels may be hash-derived (full Long range),
     // where a bigint SUM overflows — ANSI mode turns that into a job
     // failure, and wrapping sums could alias a real change to a no-op
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("cluster_rep").cast("decimal(38,0)")))
         .head().getDecimal(0)
-    var prevSum = labelSum(labels)
+    var prevSum = labelSum(labels) // also materializes the persist
     if (prevSum == null) { // empty docs frame: agg yields NULL, not 0
       edges.unpersist()
       return labels
@@ -278,19 +307,23 @@ object Dedup {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src"))
         .agg(min("cluster_rep").as("nbr_rep"))
-      val next = trunc(labels.join(nbrMin,
+      val step = labels.join(nbrMin,
           labels("doc_id") === nbrMin("src"), "left")
         .select(labels("doc_id"),
           least(col("cluster_rep"),
-            coalesce(col("nbr_rep"), col("cluster_rep"))).as("cluster_rep")))
-      val s = labelSum(next)
+            coalesce(col("nbr_rep"), col("cluster_rep"))).as("cluster_rep"))
+      val cutLineage = (iter + 1) % LineageCutInterval == 0
+      val next =
+        if (cutLineage) trunc(step) // eager; not cache-releasable
+        else step.persist(StorageLevel.MEMORY_AND_DISK)
+      val s = labelSum(next) // materializes the persisted form
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      // `next` is already materialized (truncate is eager), so the
-      // superseded round's checkpoint blocks can be released — without
-      // this, up to maxIter label frames accumulate per call
-      labels.unpersist()
+      // `next` is materialized, so the superseded round's cache can be
+      // released — without this, up to maxIter label frames accumulate
+      if (labelsOwned) labels.unpersist()
       labels = next
+      labelsOwned = !cutLineage
       iter += 1
     }
     edges.unpersist()

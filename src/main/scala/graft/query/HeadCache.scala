@@ -48,18 +48,28 @@ object HeadCache {
   val MaxCacheRows = 5000000L
 
   /** Row count for the marker stamp — one count job at BUILD time, so
-    * load never has to pay it (see sizeOk). */
+    * load can pre-filter without one (see sizeOk / boundedCollect). */
   private def countRows(spark: SparkSession, path: String): Long =
     spark.read.parquet(path).count()
 
-  /** Load-time size guard: trust the row count the build stamped into
-    * the commit marker (markers are written only after a complete,
-    * counted write); a legacy marker without the stamp falls back to
-    * counting — the only case that still pays a Spark job on the
-    * index-open path. */
-  private def sizeOk(spark: SparkSession, meta: String, path: String): Boolean =
+  /** Load-time size pre-filter: skip the read entirely when the count
+    * the build stamped into the commit marker is already over budget.
+    * This is an OPTIMIZATION only — the hard guard is boundedCollect,
+    * which caps what actually reaches the driver even when the parquet
+    * contents diverge from the stamp (partial restore, external copy,
+    * legacy marker without a stamp). */
+  private def sizeOk(meta: String): Boolean =
     """"rows":(\d+)""".r.findFirstMatchIn(meta).map(_.group(1).toLong)
-      .getOrElse(countRows(spark, path)) <= MaxCacheRows
+      .forall(_ <= MaxCacheRows)
+
+  /** Collect at most MaxCacheRows + 1 rows (limit pushdown — the scan
+    * stops there, no count job); None when the cap is exceeded, i.e. the
+    * on-disk cache does not fit the driver budget and must be skipped.
+    * This bound holds regardless of what any marker claims. */
+  private def boundedCollect[T](ds: org.apache.spark.sql.Dataset[T]): Option[Array[T]] = {
+    val rows = ds.limit(MaxCacheRows.toInt + 1).collect()
+    if (rows.length > MaxCacheRows) None else Some(rows)
+  }
 
   /** Precompute depth-1 top-k for all terms with df >= minDf.
     * Distributed: decode -> JVM-exact score -> TopKAgg by term. */
@@ -216,16 +226,17 @@ object HeadCache {
     if (!Fs.exists(spark, marker) ||
         !Fs.exists(spark, s"$indexDir/head_cache")) return (Map.empty, 0)
     val meta = Fs.read(spark, marker)
-    if (!sizeOk(spark, meta, s"$indexDir/head_cache")) return (Map.empty, 0)
+    if (!sizeOk(meta)) return (Map.empty, 0)
     val k = """"k":(\d+)""".r.findFirstMatchIn(meta).map(_.group(1).toInt).getOrElse(0)
-    val m = spark.read.parquet(s"$indexDir/head_cache")
+    boundedCollect(spark.read.parquet(s"$indexDir/head_cache")
       .select("term", "rank", "doc_id", "score")
-      .as[(String, Int, Long, Double)].collect()
-      .groupBy(_._1)
-      .map { case (t, rs) =>
-        t -> rs.sortBy(_._2).map(r => Scored(r._3, r._4)).toSeq
-      }
-    (m, k)
+      .as[(String, Int, Long, Double)]) match {
+      case None => (Map.empty, 0)
+      case Some(rows) =>
+        (rows.groupBy(_._1).map { case (t, rs) =>
+          t -> rs.sortBy(_._2).map(r => Scored(r._3, r._4)).toSeq
+        }, k)
+    }
   }
 
   /** Depth-2 entries ((term_a, term_b) sorted -> ranked hits). */
@@ -235,16 +246,17 @@ object HeadCache {
     if (!Fs.exists(spark, marker) ||
         !Fs.exists(spark, s"$indexDir/head_cache2")) return (Map.empty, 0)
     val meta = Fs.read(spark, marker)
-    if (!sizeOk(spark, meta, s"$indexDir/head_cache2")) return (Map.empty, 0)
+    if (!sizeOk(meta)) return (Map.empty, 0)
     val k = """"k":(\d+)""".r.findFirstMatchIn(meta).map(_.group(1).toInt).getOrElse(0)
-    val m = spark.read.parquet(s"$indexDir/head_cache2")
+    boundedCollect(spark.read.parquet(s"$indexDir/head_cache2")
       .select("term_a", "term_b", "rank", "doc_id", "score")
-      .as[(String, String, Int, Long, Double)].collect()
-      .groupBy(r => (r._1, r._2))
-      .map { case (p, rs) =>
-        p -> rs.sortBy(_._3).map(r => Scored(r._4, r._5)).toSeq
-      }
-    (m, k)
+      .as[(String, String, Int, Long, Double)]) match {
+      case None => (Map.empty, 0)
+      case Some(rows) =>
+        (rows.groupBy(r => (r._1, r._2)).map { case (p, rs) =>
+          p -> rs.sortBy(_._3).map(r => Scored(r._4, r._5)).toSeq
+        }, k)
+    }
   }
 
   /** Depth-3 entries ((a, b, c) sorted -> ranked hits). */
@@ -254,16 +266,17 @@ object HeadCache {
     if (!Fs.exists(spark, marker) ||
         !Fs.exists(spark, s"$indexDir/head_cache3")) return (Map.empty, 0)
     val meta = Fs.read(spark, marker)
-    if (!sizeOk(spark, meta, s"$indexDir/head_cache3")) return (Map.empty, 0)
+    if (!sizeOk(meta)) return (Map.empty, 0)
     val k = """"k":(\d+)""".r.findFirstMatchIn(meta).map(_.group(1).toInt).getOrElse(0)
-    val m = spark.read.parquet(s"$indexDir/head_cache3")
+    boundedCollect(spark.read.parquet(s"$indexDir/head_cache3")
       .select("term_a", "term_b", "term_c", "rank", "doc_id", "score")
-      .as[(String, String, String, Int, Long, Double)].collect()
-      .groupBy(r => (r._1, r._2, r._3))
-      .map { case (t, rs) =>
-        t -> rs.sortBy(_._4).map(r => Scored(r._5, r._6)).toSeq
-      }
-    (m, k)
+      .as[(String, String, String, Int, Long, Double)]) match {
+      case None => (Map.empty, 0)
+      case Some(rows) =>
+        (rows.groupBy(r => (r._1, r._2, r._3)).map { case (t, rs) =>
+          t -> rs.sortBy(_._4).map(r => Scored(r._5, r._6)).toSeq
+        }, k)
+    }
   }
 
   /** Drop all cache levels (incremental ingest invalidation: stale

@@ -52,14 +52,16 @@ object Searcher {
     * head-cache hits). */
   val ExecBatchThreshold = 256
 
-  /** Per-query work counters from the last DRIVER-loop WAND invocation —
-    * the reference's per-query stats (gin.c:1118-1151). Keyed by
-    * query_id. NOT populated by the executor path (counters would live in
-    * executor JVMs) or the relational path; the dispatcher CLEARS the map
-    * when it routes to either, so consumers see "no counters for this
-    * batch" rather than silently-stale entries from an earlier
-    * driver-loop call. Instrumentation that needs counters must use
-    * searchTopKWand directly. */
+  /** Per-query work counters — the reference's per-query stats
+    * (gin.c:1118-1151), keyed by query_id. The searchTopK dispatcher
+    * CLEARS the map at every call, so it holds counters for the LAST
+    * dispatched batch only: empty after a relational or executor-path
+    * batch (their counters would live in executor JVMs), populated after
+    * a driver-loop batch. The clear also keeps a long-lived serve
+    * session (thousands of dispatched micro-batches, disjoint query ids)
+    * from growing the map without bound. Direct searchTopKWand calls do
+    * NOT clear — instrumentation that accumulates across sub-batches
+    * (Bench's grouped legs) relies on that. */
   val lastStats = new java.util.concurrent.ConcurrentHashMap[Long, Wand.QueryStats]()
 
   /** Shared pool for the driver-side WAND serving loop. */
@@ -79,13 +81,12 @@ object Searcher {
     val handle = IndexHandle.open(spark, indexDir, nBuckets)
     val allTerms = queries.flatMap(q => Tokenizer.tokens(q.text)).distinct
     val dfSum = handle.dfOf(allTerms).values.sum
-    if (dfSum > WandDfCap) {
-      lastStats.clear() // no per-query counters on this path (see doc)
+    lastStats.clear() // per-dispatched-batch counters only (see doc)
+    if (dfSum > WandDfCap)
       searchTopKRelational(spark, indexDir, queries, k, mode, nBuckets)
-    } else if (queries.size >= ExecBatchThreshold) {
-      lastStats.clear() // counters live in executor JVMs (see doc)
+    else if (queries.size >= ExecBatchThreshold)
       searchTopKWandExecutors(spark, indexDir, queries, k, mode, nBuckets)
-    } else
+    else
       searchTopKWand(spark, indexDir, queries, k, mode, nBuckets)
   }
 

@@ -59,14 +59,21 @@ object QueryStream {
     // the retained checkpoint would skip every already-consumed query
     // file (including the sentinel), leaving the new session hung until
     // its timeout. A present _EXIT marks a finished session, so reusing
-    // its out-dir means "start a new session over the same directories":
-    // drop the checkpoint with it (per-batch results are rewritten
-    // idempotently via Overwrite). A MISSING _EXIT with a live checkpoint
-    // is a crashed session — keep the checkpoint so the stream resumes
-    // exactly where it died.
+    // its out-dir means "re-execute the session over the directories as
+    // they now stand": drop the checkpoint AND the old results tree with
+    // the marker (the new session's batching need not reproduce the old
+    // one, so per-batch Overwrite alone cannot be trusted to replace
+    // every stale batch_id directory). Note the sentinel protocol's
+    // consequence: a sentinel file still in queryDir is replayed, so the
+    // restarted session answers the files present when it reaches that
+    // sentinel and then ends — exactly the reference's "everything up to
+    // exit();" file-REPL contract. A MISSING _EXIT with a live
+    // checkpoint is a crashed session — keep both so the stream resumes
+    // exactly where it died with its earlier batches' results intact.
     if (Fs.exists(spark, s"$outDir/_EXIT")) {
       Fs.delete(spark, s"$outDir/_EXIT")
       Fs.delete(spark, s"$outDir/_checkpoint")
+      Fs.delete(spark, s"$outDir/results")
     }
     spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
