@@ -45,13 +45,6 @@ object Dedup {
       ck
     } else df.localCheckpoint()
 
-  /** Checkpoint cadence for iterative loops: rounds between
-    * lineage-truncating checkpoints in connectedComponents. Bounds both
-    * plan growth and the executor-loss recompute depth at this many
-    * rounds, while letting every intermediate round's cache be released
-    * eagerly (checkpointed frames cannot be). */
-  private val LineageCutInterval = 5
-
   /** Exact duplicate groups by content hash. One shuffle over
     * (hash -> count, representative). */
   def exactGroups(docs: DataFrame): DataFrame =
@@ -261,13 +254,15 @@ object Dedup {
     * takes min(own label, neighbors' labels); converges in O(component
     * diameter) rounds. Near-dup components are dense and shallow (they
     * approximate cliques), so the round count stays small at corpus
-    * scale; each round is one join + one aggregation. Storage discipline
-    * is the Pregel pattern: each round's labels are persisted and the
-    * superseded round's cache is RELEASED once the new one is
-    * materialized (unpersist on a checkpointed frame is a no-op — only
-    * persisted frames can be freed eagerly), with a lineage-truncating
-    * checkpoint every LineageCutInterval rounds so neither the plan nor
-    * the recompute-on-executor-loss depth grows without bound.
+    * scale; each round is one join + one aggregation, with the lineage
+    * truncated by an EAGER checkpoint every round — `labels` appears
+    * twice in each round's plan (neighbor-min join + carry-through), so
+    * without truncation the LOGICAL plan doubles per round and Catalyst
+    * re-optimization becomes the dominant cost within ~10 rounds
+    * (mere persist() caches data but leaves the full plan in place).
+    * The superseded round's checkpoint blocks are released explicitly
+    * through its LogicalRDD scan (Dataset.unpersist is a no-op for
+    * checkpointed frames — they are not in the CacheManager).
     * Convergence is detected by the label SUM: labels only ever
     * decrease, so an unchanged sum is a fixpoint — one cheap agg
     * instead of a change-count join.
@@ -283,20 +278,23 @@ object Dedup {
       .unionByName(pairs.select(col("doc_b").as("src"),
         col("doc_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // owned = WE persisted it (unpersist releases it); a checkpointed
-    // frame is not in the CacheManager, so unpersist would be a no-op —
-    // those are freed by the context cleaner / checkpoint GC instead
-    var labels = docs.select(col("doc_id"),
-      col("doc_id").cast("long").as("cluster_rep"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labelsOwned = true
+    // release the block-manager copy behind a localCheckpointed frame:
+    // its data RDD sits directly in the plan's LogicalRDD scan. Reliable
+    // checkpoints keep their data in files — nothing in memory to free.
+    def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    }
+    var labels = trunc(docs.select(col("doc_id"),
+      col("doc_id").cast("long").as("cluster_rep")))
     // exact decimal sum: labels may be hash-derived (full Long range),
     // where a bigint SUM overflows — ANSI mode turns that into a job
     // failure, and wrapping sums could alias a real change to a no-op
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("cluster_rep").cast("decimal(38,0)")))
         .head().getDecimal(0)
-    var prevSum = labelSum(labels) // also materializes the persist
+    var prevSum = labelSum(labels)
     if (prevSum == null) { // empty docs frame: agg yields NULL, not 0
       edges.unpersist()
       return labels
@@ -307,23 +305,19 @@ object Dedup {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src"))
         .agg(min("cluster_rep").as("nbr_rep"))
-      val step = labels.join(nbrMin,
+      val next = trunc(labels.join(nbrMin,
           labels("doc_id") === nbrMin("src"), "left")
         .select(labels("doc_id"),
           least(col("cluster_rep"),
-            coalesce(col("nbr_rep"), col("cluster_rep"))).as("cluster_rep"))
-      val cutLineage = (iter + 1) % LineageCutInterval == 0
-      val next =
-        if (cutLineage) trunc(step) // eager; not cache-releasable
-        else step.persist(StorageLevel.MEMORY_AND_DISK)
-      val s = labelSum(next) // materializes the persisted form
+            coalesce(col("nbr_rep"), col("cluster_rep"))).as("cluster_rep")))
+      val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      // `next` is materialized, so the superseded round's cache can be
-      // released — without this, up to maxIter label frames accumulate
-      if (labelsOwned) labels.unpersist()
+      // `next` is materialized (truncate is eager), so the superseded
+      // round's blocks can be freed — without this, up to maxIter label
+      // frames accumulate per call
+      release(labels)
       labels = next
-      labelsOwned = !cutLineage
       iter += 1
     }
     edges.unpersist()
