@@ -51,7 +51,9 @@ object Gate {
   val NdMinCos = 0.4          // cosine near-dup pair threshold
   val OffsetsMaxMatches = 200L // --max-matches cap for the full offset
                                //   decode gate (smallest (doc, offset))
-  val IvfCentroids = 16       // IVF coarse cells (deterministic seed set)
+  // IVF coarse cells: 0 = autoCentroids (≈ √n, clamped [16, 65536]) —
+  // the gate exercises the AUTO path; the oracle mirrors the formula
+  val IvfCentroids = 0
   val IvfProbe = 4            // cells probed per query
   val SnippetCtx = 20         // chars of context on each side of a match
   val CleanMinTokens = 20L    // clean-corpus quality gate (tighter than
@@ -773,8 +775,13 @@ object Gate {
                     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
                          AS BIGINT) AS e
                   FROM embeddings),
-      cids AS (SELECT DISTINCT vec_id FROM embeddings
-               ORDER BY vec_id LIMIT $IvfCentroids),
+      -- autoCentroids mirror: clamp(ceil(sqrt(n)), 16, 65536)
+      ncent AS (SELECT LEAST(65536, GREATEST(16,
+                  CAST(ceil(sqrt(count(*))) AS BIGINT))) AS nc
+                FROM embeddings),
+      cids AS (SELECT vec_id
+               FROM (SELECT DISTINCT vec_id FROM embeddings), ncent
+               QUALIFY row_number() OVER (ORDER BY vec_id) <= nc),
       cent AS (SELECT eq.vec_id AS cid, d, e
                FROM eq JOIN cids USING (vec_id)),
       adots AS (SELECT eq.vec_id, c.cid, sum(eq.e * c.e) AS s

@@ -136,9 +136,18 @@ object Builder {
     * required ordering is already satisfied and it streams files with no
     * extra external sort (the 7-14x unclustered-write cliff). Directory
     * layout is unchanged: partitionBy("bucket") still groups files. */
-  def clusterForBucketWrite(df: DataFrame, nBuckets: Int, nPart: Int): DataFrame = {
+  def clusterForBucketWrite(df: DataFrame, nBuckets: Int, nPart: Int): DataFrame =
+    clusterForBucketWriteBy(df, nBuckets, nPart, col("doc_id"))
+
+  /** clusterForBucketWrite with an explicit subsplit source column, for
+    * staged tables WITHOUT a doc_id (the dictionary's (term, df, cf)
+    * rows): the shuffle key is (bucket, pmod(sub, S)). Pass an
+    * already-uniform expression — doc_id for posting-shaped rows,
+    * xxhash64(term) for term-keyed rows. */
+  def clusterForBucketWriteBy(df: DataFrame, nBuckets: Int, nPart: Int,
+      sub: org.apache.spark.sql.Column): DataFrame = {
     val subsplit = math.max(1L, math.ceil(2.0 * nPart / nBuckets).toLong)
-    df.repartition(nPart, col("bucket"), pmod(col("doc_id"), lit(subsplit)))
+    df.repartition(nPart, col("bucket"), pmod(sub, lit(subsplit)))
       .sortWithinPartitions("bucket")
   }
 
@@ -363,12 +372,18 @@ object Builder {
       }
 
     // ---- stage 4: dictionary -----------------------------------------
+    // clustered like every other bucket-partitioned write: keyed on
+    // (bucket, hash(term) subsplit) so the reduce width tracks nPart —
+    // hashing on bucket alone would funnel a 1e8-1e9-term vocabulary
+    // through <= nBuckets write tasks no matter how wide the cluster is
+    // (the same collapse r4 fixed for postings_raw/positions/trigrams)
     if (!committed(spark, outDir, "_COMMIT_dictionary")) timed("dictionary") {
       spark.read.parquet(rawDir)
         .groupBy("term")
         .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
         .withColumn("bucket", bucketOf(col("term"), conf.nBuckets))
-        .repartition(math.min(nPart, conf.nBuckets), col("bucket"))
+        .transform(clusterForBucketWriteBy(_, conf.nBuckets, nPart,
+          xxhash64(col("term"))))
         .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(dictDir)
       commit(spark, outDir, "_COMMIT_dictionary")
     }

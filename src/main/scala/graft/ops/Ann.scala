@@ -180,34 +180,30 @@ object Ann {
     rankTopK(scored, k)
   }
 
-  /** IVF-flat approximate top-k — the inverted-file scale path
-    * complementing hyperplane LSH: the corpus is coarse-quantized into
-    * `nCentroids` cells and each query probes only its `nProbe` best
-    * cells, so per-query candidate volume is ~nProbe·n/nCentroids
-    * instead of n. The centroid set is the vectors with the nCentroids
-    * smallest vec_ids (a deterministic seed choice — the k-means-free
-    * IVF variant; a trained quantizer can replace it without changing
-    * the plan shape). Cell assignment compares EXACT integer dot
-    * products over floor(v·1e6)-quantized components (ties → lowest
-    * centroid id), so the partition is bit-identical in Spark and the
-    * DuckDB oracle; the final ranking is exact cosine over the probed
-    * cells' members only.
-    *
-    * Scale shape: one broadcast of nCentroids quantized vectors, one
-    * map over the corpus for assignment (no shuffle), one shuffle join
-    * of probes × cell members — the corpus is never pair-joined with
-    * itself. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4,
-              dims: Int = 64): DataFrame = {
+  /** Centroid count sized for the corpus: ≈ √n — the standard IVF cell
+    * scaling that balances probe cost (nProbe · n/nc members scanned)
+    * against assignment cost (nc dot products per vector) — clamped to
+    * [16, 65536]. Callers pass `nCentroids = 0` to the IVF entry points
+    * to use this; a FIXED nCentroids at a growing corpus degenerates
+    * toward a linear scan (n/nc per cell grows without bound). */
+  def autoCentroids(n: Long): Int =
+    math.min(65536,
+      math.max(16, math.ceil(math.sqrt(math.max(0L, n).toDouble)).toInt))
+
+  /** IVF candidate stage, exposed for tests: (query_id, neighbor_id)
+    * pairs from the probed cells only. `nCentroids = 0` derives ≈ √n
+    * centroids from the corpus size (autoCentroids). */
+  def ivfCandidates(queries: DataFrame, corpus: DataFrame,
+                    nCentroids: Int, nProbe: Int, dims: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // the nCentroids SMALLEST vec_ids (sort+limit -> TakeOrdered, no
+    val nc = if (nCentroids > 0) nCentroids else autoCentroids(corpus.count())
+    // the nc SMALLEST vec_ids (sort+limit -> TakeOrdered, no
     // dense-0-based id assumption: an offset or filtered id space must
     // not silently yield an empty/undersized centroid set)
     val cents: Array[(Long, Array[Long])] = corpus
       .select(col("vec_id").cast("long"), quantized(col("embedding")))
-      .orderBy(col("vec_id")).limit(nCentroids)
+      .orderBy(col("vec_id")).limit(nc)
       .as[(Long, Seq[Long])].collect()
       .map { case (id, e) => (id, e.toArray) }
       .sortBy(_._1)
@@ -237,10 +233,33 @@ object Ann {
       .withColumnRenamed("vec_id", "neighbor_id")
     val probes = cellsOf(queries, nProbe)
       .withColumnRenamed("vec_id", "query_id")
-    val cand = probes.join(assign, "cell")
+    probes.join(assign, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()
+  }
+
+  /** IVF-flat approximate top-k — the inverted-file scale path
+    * complementing hyperplane LSH: the corpus is coarse-quantized into
+    * `nCentroids` cells (0 = autoCentroids ≈ √n) and each query probes
+    * only its `nProbe` best cells, so per-query candidate volume is
+    * ~nProbe·n/nCentroids instead of n. The centroid set is the vectors
+    * with the smallest vec_ids (a deterministic seed choice — the
+    * k-means-free IVF variant; a trained quantizer can replace it
+    * without changing the plan shape). Cell assignment compares EXACT
+    * integer dot products over floor(v·1e6)-quantized components (ties
+    * → lowest centroid id), so the partition is bit-identical in Spark
+    * and the DuckDB oracle; the final ranking is exact cosine over the
+    * probed cells' members only.
+    *
+    * Scale shape: one broadcast of nCentroids quantized vectors, one
+    * map over the corpus for assignment (no shuffle), one shuffle join
+    * of probes × cell members — the corpus is never pair-joined with
+    * itself. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCentroids: Int = 0, nProbe: Int = 4,
+              dims: Int = 64): DataFrame = {
+    val cand = ivfCandidates(queries, corpus, nCentroids, nProbe, dims)
     val scored = cand
       .join(broadcast(queries.select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"))), "query_id")

@@ -34,7 +34,17 @@ object Dedup {
     * checkpoint files, recomputing the plan unless its data is already
     * cached — for the expensive frames passed here (the shingle
     * self-join) that recompute would double the dominant cost. The cache
-    * is dropped as soon as the checkpoint files exist. */
+    * is dropped as soon as the checkpoint files exist.
+    *
+    * Checkpoint-file lifecycle: Spark never deletes reliable checkpoint
+    * dirs on its own (spark.cleaner.referenceTracking.cleanCheckpoints
+    * defaults to false), so every SUPERSEDED frame inside an iterative
+    * loop must be released via `release` below — which also deletes its
+    * files. The one frame RETURNED to the caller keeps its files for as
+    * long as the caller uses it; long-lived sessions that call these
+    * operators repeatedly should set
+    * spark.cleaner.referenceTracking.cleanCheckpoints=true so those final
+    * dirs are reclaimed when the frames are garbage-collected. */
   private def truncate(spark: org.apache.spark.sql.SparkSession,
                        df: DataFrame): DataFrame =
     if (spark.sparkContext.getCheckpointDir.isDefined) {
@@ -44,6 +54,22 @@ object Dedup {
       cached.unpersist()
       ck
     } else df.localCheckpoint()
+
+  /** Release a SUPERSEDED truncated frame: free the block-manager copy
+    * behind a localCheckpointed frame (its data RDD sits directly in the
+    * plan's LogicalRDD scan), and DELETE a reliable checkpoint's files —
+    * Spark leaves those on disk forever by default, so an iterative loop
+    * that truncates per round would otherwise leak one directory per
+    * round for the session lifetime. Only call once a successor frame is
+    * materialized (truncate is eager). */
+  private def release(spark: org.apache.spark.sql.SparkSession,
+                      df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+        lr.rdd.getCheckpointFile.foreach(f => graft.util.Fs.delete(spark, f))
+      case _ => ()
+    }
 
   /** Exact duplicate groups by content hash. One shuffle over
     * (hash -> count, representative). */
@@ -250,85 +276,122 @@ object Dedup {
     * pairwise detectors (jaccardPairs / minhashCandidates /
     * cosineNearDupPairs); docs not in any pair are their own rep.
     *
-    * Algorithm: iterative min-label propagation — per round each doc
-    * takes min(own label, neighbors' labels); converges in O(component
-    * diameter) rounds. Near-dup components are dense and shallow (they
-    * approximate cliques), so the round count stays small at corpus
-    * scale; each round is one join + one aggregation, with the lineage
-    * truncated by an EAGER checkpoint every round — `labels` appears
-    * twice in each round's plan (neighbor-min join + carry-through), so
-    * without truncation the LOGICAL plan doubles per round and Catalyst
-    * re-optimization becomes the dominant cost within ~10 rounds
-    * (mere persist() caches data but leaves the full plan in place).
-    * The superseded round's checkpoint blocks are released explicitly
-    * through its LogicalRDD scan (Dataset.unpersist is a no-op for
-    * checkpointed frames — they are not in the CacheManager).
-    * Convergence is detected by the label SUM: labels only ever
-    * decrease, so an unchanged sum is a fixpoint — one cheap agg
-    * instead of a change-count join.
+    * Algorithm: alternating large-star / small-star contraction (the
+    * published MapReduce CC algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond" — public knowledge), which
+    * converges in O(log n) rounds on ANY graph shape: per round, every
+    * node hooks its larger neighbors (large-star) then its smaller
+    * neighborhood (small-star) onto the minimum of its neighborhood,
+    * and the fixpoint is a forest of stars centered at each component's
+    * minimum id. This replaces the r4 min-label propagation, whose
+    * O(component diameter) rounds made chain-shaped graphs (long
+    * near-dup paths) need a raised maxIter; log-round contraction
+    * handles chains and cliques alike under the default budget.
+    *
+    * Each round's edge frame is truncated by an EAGER checkpoint (the
+    * frame enters its successor's plan twice — the neighborhood-min join
+    * — so without truncation the logical plan doubles per round and
+    * Catalyst re-optimization dominates within ~10 rounds; persist()
+    * alone leaves the plan in place). Superseded rounds are released
+    * through `release`, which also DELETES reliable checkpoint files so
+    * a long-lived session does not leak one directory per round.
+    * Convergence = the round leaves the edge set unchanged, detected by
+    * an aggregate signature (count, xor of row hashes, exact decimal
+    * endpoint sums — overflow-safe for hash-derived full-range ids under
+    * ANSI mode) instead of a per-round except() join.
     *
     * Returns (doc_id, cluster_rep). */
   def connectedComponents(docs: DataFrame, pairs: DataFrame,
                           maxIter: Int = 25): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     val spark = docs.sparkSession
     def trunc(df: DataFrame): DataFrame = truncate(spark, df)
-    val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"),
-        col("doc_a").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // release the block-manager copy behind a localCheckpointed frame:
-    // its data RDD sits directly in the plan's LogicalRDD scan. Reliable
-    // checkpoints keep their data in files — nothing in memory to free.
-    def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(false)
-      case _ => ()
+    val selfLabels = docs.select(col("doc_id"),
+      col("doc_id").cast("long").as("cluster_rep"))
+    // canonical undirected edge set (lo < hi), self-pairs dropped
+    var edges = trunc(pairs
+      .select(least(col("doc_a"), col("doc_b")).cast("long").as("src"),
+        greatest(col("doc_a"), col("doc_b")).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct())
+    if (edges.isEmpty) {
+      release(spark, edges)
+      return selfLabels
     }
-    var labels = trunc(docs.select(col("doc_id"),
-      col("doc_id").cast("long").as("cluster_rep")))
-    // exact decimal sum: labels may be hash-derived (full Long range),
-    // where a bigint SUM overflows — ANSI mode turns that into a job
-    // failure, and wrapping sums could alias a real change to a no-op
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_rep").cast("decimal(38,0)")))
-        .head().getDecimal(0)
-    var prevSum = labelSum(labels)
-    if (prevSum == null) { // empty docs frame: agg yields NULL, not 0
-      edges.unpersist()
-      return labels
+
+    /** Large-star: for every node u, connect each STRICTLY LARGER
+      * neighbor to min(Γ(u) ∪ {u}). Keeps connectivity, never creates a
+      * (larger, smaller) inversion, halves tall structures. */
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
+      val m = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("mu"))
+      sym.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(least(col("mu"), col("v")).as("src"),
+          greatest(col("mu"), col("v")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
     }
+
+    /** Small-star: direct every edge at its larger endpoint; that node
+      * hooks itself and all its smaller neighbors onto their minimum. */
+    def smallStar(e: DataFrame): DataFrame = {
+      // canonical (src < dst) already holds: group by the larger end
+      val m = e.groupBy("dst").agg(min("src").as("mn"))
+      val lows = e.join(m, "dst")
+        .filter(col("src") =!= col("mn"))
+        .select(col("mn").as("src"), col("src").as("dst"))
+      val self = m.select(col("mn").as("src"), col("dst"))
+      lows.unionByName(self)
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    /** Fixpoint signature: (row count, xor of row hashes, exact decimal
+      * sums of both endpoints). Equal signatures across a round mean the
+      * round was the identity — the star fixpoint. */
+    def sig(e: DataFrame): (Long, Long, java.math.BigDecimal, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L)),
+        sum(col("src").cast("decimal(38,0)")),
+        sum(col("dst").cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getLong(1), r.getDecimal(2), r.getDecimal(3))
+    }
+
+    var prevSig = sig(edges)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src"))
-        .agg(min("cluster_rep").as("nbr_rep"))
-      val next = trunc(labels.join(nbrMin,
-          labels("doc_id") === nbrMin("src"), "left")
-        .select(labels("doc_id"),
-          least(col("cluster_rep"),
-            coalesce(col("nbr_rep"), col("cluster_rep"))).as("cluster_rep")))
-      val s = labelSum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      // `next` is materialized (truncate is eager), so the superseded
-      // round's blocks can be freed — without this, up to maxIter label
-      // frames accumulate per call
-      release(labels)
-      labels = next
+      val ls = trunc(largeStar(edges))
+      release(spark, edges) // superseded once ls is materialized
+      val ss = trunc(smallStar(ls))
+      release(spark, ls)
+      val s = sig(ss)
+      converged = s == prevSig
+      prevSig = s
+      edges = ss
       iter += 1
     }
-    edges.unpersist()
-    // a silent non-converged return would hand back intermediate labels
+    // a silent non-converged return would hand back intermediate hooks
     // as if they were cluster reps (wrong dedup groups, oracle
-    // divergence) — fail loudly; callers with genuinely deep components
-    // (chain-shaped near-dup graphs) raise maxIter
-    if (!converged)
+    // divergence) — fail loudly. With log-round contraction this fires
+    // only on a genuinely pathological input (or a too-small caller
+    // override), not on ordinary chain-shaped graphs.
+    if (!converged) {
+      release(spark, edges)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds; " +
-          "a component's diameter exceeds maxIter — raise maxIter")
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(log-round star contraction; raise maxIter)")
+    }
+    // fixpoint edges are exactly (component-min, member) stars: one row
+    // per non-representative node
+    val labels = trunc(docs.select(col("doc_id"))
+      .join(edges.select(col("dst").as("doc_id"), col("src").as("rep")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep"), col("doc_id").cast("long")).as("cluster_rep")))
+    release(spark, edges)
     labels
   }
 

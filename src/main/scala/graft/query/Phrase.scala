@@ -18,6 +18,16 @@ import graft.index.{Bm25, Builder, Codec, Tokenizer}
   */
 object Phrase {
 
+  /** Default per-query candidate budget — FINITE, like the reference,
+    * which ships with its fork/match budgets ON by default
+    * (/root/reference/gin.c:33-37: max_forks/max_matches are set, not
+    * opt-in): a serving layer calling with defaults must not re-create
+    * the two-common-term blowup the budget exists for. Callers that
+    * need the exact unbudgeted evaluation pass Long.MaxValue
+    * explicitly. Deterministic: the budget keeps the SMALLEST candidate
+    * doc_ids. */
+  val DefaultMaxCandidates = 100000L
+
   /** Top-k docs containing each phrase exactly.
     * Requires the index to be built with storePositions=true.
     * Returns (query_id, rank, doc_id, score).
@@ -27,11 +37,10 @@ object Phrase {
     * conjunctive candidate set is capped per query BEFORE the positions
     * join and adjacency verification (k smallest doc_ids kept —
     * deterministic), so a two-common-term phrase cannot drag an
-    * unbounded verification join behind it. The default is uncapped
-    * (exact); at corpus scale callers pass a budget. */
+    * unbounded verification join behind it. */
   def searchTopK(spark: SparkSession, indexDir: String,
                  phrases: Seq[Searcher.Query], k: Int,
-                 maxCandidates: Long = Long.MaxValue): DataFrame = {
+                 maxCandidates: Long = DefaultMaxCandidates): DataFrame = {
     import spark.implicits._
     require(graft.util.Fs.exists(spark, s"$indexDir/_COMMIT_positions"),
       s"index at $indexDir was built without storePositions=true")
@@ -54,19 +63,9 @@ object Phrase {
     // conjunctive candidates from the core index (already block-pruned),
     // budget applied per query through a bounded aggregator — never a
     // global sort or an unbounded per-query row set
-    val candidatesAll = Searcher.searchCandidates(spark, indexDir,
-      phrases.filter(q => live.contains(q.query_id)))
-    val candidates =
-      if (maxCandidates >= Int.MaxValue) candidatesAll
-      else {
-        val cap = new MinKLongAgg(maxCandidates.toInt)
-        candidatesAll.as[(Long, Long)]
-          .groupByKey(_._1)
-          .mapValues(_._2)
-          .agg(cap.toColumn.name("docs"))
-          .flatMap { case (qid, docs) => docs.map(d => (qid, d)) }
-          .toDF("query_id", "doc_id")
-      }
+    val candidates = capCandidates(spark,
+      Searcher.searchCandidates(spark, indexDir,
+        phrases.filter(q => live.contains(q.query_id))), maxCandidates)
 
     // positions for the candidate docs' terms
     val liveTerms = live.keys.flatMap(distinctPerQuery).toSeq.distinct
@@ -122,15 +121,37 @@ object Phrase {
       .toDF("query_id", "rank", "doc_id", "score")
   }
 
+  /** Per-query candidate budget, applied BEFORE the positions join
+    * through a bounded typed aggregator — never a global sort or an
+    * unbounded per-query row set; keeps the `cap` smallest doc_ids. */
+  private def capCandidates(spark: SparkSession, all: DataFrame,
+                            maxCandidates: Long): DataFrame = {
+    import spark.implicits._
+    if (maxCandidates >= Int.MaxValue) all
+    else {
+      val cap = new MinKLongAgg(maxCandidates.toInt)
+      all.as[(Long, Long)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(cap.toColumn.name("docs"))
+        .flatMap { case (qid, docs) => docs.map(d => (qid, d)) }
+        .toDF("query_id", "doc_id")
+    }
+  }
+
   /** Every phrase occurrence as (query_id, doc_id, pos) — pos is the
     * 0-based TOKEN index where the phrase starts, the token-domain form
     * of the reference's per-match `(v:…,o:…)` decode
     * (/root/reference/src/gin_gin.c:817-885). `maxMatches` keeps the
     * smallest (doc_id, pos) pairs per query (deterministic --max-matches
-    * analog) through a bounded aggregator. */
+    * analog) through a bounded aggregator; `maxCandidates` caps the
+    * CANDIDATE docs before the positions join (finite by default, like
+    * searchTopK — r4 capped only the output rows here, so a hot phrase
+    * still dragged an unbounded verification join). */
   def findOccurrences(spark: SparkSession, indexDir: String,
                       phrases: Seq[Searcher.Query],
-                      maxMatches: Long = Long.MaxValue): DataFrame = {
+                      maxMatches: Long = Long.MaxValue,
+                      maxCandidates: Long = DefaultMaxCandidates): DataFrame = {
     import spark.implicits._
     require(graft.util.Fs.exists(spark, s"$indexDir/_COMMIT_positions"),
       s"index at $indexDir was built without storePositions=true")
@@ -146,8 +167,9 @@ object Phrase {
     val emptyOut = Seq.empty[(Long, Long, Long)]
       .toDF("query_id", "doc_id", "pos")
     if (live.isEmpty) return emptyOut
-    val candidates = Searcher.searchCandidates(spark, indexDir,
-      phrases.filter(q => live.contains(q.query_id)))
+    val candidates = capCandidates(spark,
+      Searcher.searchCandidates(spark, indexDir,
+        phrases.filter(q => live.contains(q.query_id))), maxCandidates)
     val liveTerms = live.keys.flatMap(distinctPerQuery).toSeq.distinct
     val positions = spark.read.parquet(s"$indexDir/positions")
       .filter(col("bucket").isin(

@@ -39,7 +39,9 @@ object Compactor {
       return
     if (!Fs.exists(spark, s"$indexDir/dict_deltas")) return
     Builder.dictionary(spark, indexDir)
-      .repartition(math.min(nPart, nBuckets), org.apache.spark.sql.functions.col("bucket"))
+      .transform(Builder.clusterForBucketWriteBy(_, nBuckets, nPart,
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("term"))))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("bucket").parquet(s"$indexDir/dictionary_compact")
     // CHECKED renames: a silently failed promote followed by the delete

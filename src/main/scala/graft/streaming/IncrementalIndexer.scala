@@ -189,7 +189,10 @@ object IncrementalIndexer {
     raw.groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
       .withColumn("bucket", Builder.bucketOf(col("term"), c.nBuckets))
-      .repartition(math.min(nPart, c.nBuckets), col("bucket"))
+      // term-hash subsplit: delta write width tracks nPart, not nBuckets
+      // (same re-key as the batch dictionary stage)
+      .transform(Builder.clusterForBucketWriteBy(_, c.nBuckets, nPart,
+        xxhash64(col("term"))))
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$staging/dict_deltas")
     Fs.promoteStaged(spark, s"$staging/dict_deltas",

@@ -70,10 +70,17 @@ object QueryStream {
     // exit();" file-REPL contract. A MISSING _EXIT with a live
     // checkpoint is a crashed session — keep both so the stream resumes
     // exactly where it died with its earlier batches' results intact.
+    // deletion ORDER matters: _EXIT goes LAST. A crash mid-cleanup after
+    // removing _EXIT but before the checkpoint would leave a live
+    // checkpoint with no marker — the next serve() would misread that as
+    // a crashed session, resume the fully-consumed checkpoint, never see
+    // the sentinel again, and hang until timeout. Deleting the
+    // checkpoint/results first keeps every partial state re-enterable:
+    // _EXIT still present -> this branch runs again and finishes the job.
     if (Fs.exists(spark, s"$outDir/_EXIT")) {
-      Fs.delete(spark, s"$outDir/_EXIT")
       Fs.delete(spark, s"$outDir/_checkpoint")
       Fs.delete(spark, s"$outDir/results")
+      Fs.delete(spark, s"$outDir/_EXIT")
     }
     spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

@@ -286,6 +286,31 @@ class OpsSpec extends SparkTestBase {
     assert(pairs.map(p => (p._1, p._2)).contains((900L, 901L)), pairs.toSeq)
   }
 
+  test("autoCentroids ~ sqrt(n), clamped; auto IVF bounds candidate volume") {
+    import spark.implicits._
+    assert(Ann.autoCentroids(0) == 16)
+    assert(Ann.autoCentroids(100) == 16)     // floor clamp
+    assert(Ann.autoCentroids(1000) == 32)    // ceil(sqrt(1000)) = 32
+    assert(Ann.autoCentroids(1L << 20) == 1024)
+    assert(Ann.autoCentroids(Long.MaxValue) == 65536) // ceiling clamp
+    val emb = clusteredEmb(200, 16, 12)
+    val queries = emb.filter(col("vec_id") < 20)
+    // auto (nCentroids = 0) must equal the explicit-formula run exactly
+    val auto = Ann.ivfTopK(queries, emb, 5, nCentroids = 0, nProbe = 4,
+        dims = 16)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val explicit = Ann.ivfTopK(queries, emb, 5,
+        nCentroids = Ann.autoCentroids(200), nProbe = 4, dims = 16)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(auto == explicit && auto.nonEmpty)
+    // candidate volume: probing nProbe of nc cells must NOT degenerate
+    // to a per-query linear scan of the corpus
+    val nCand = Ann.ivfCandidates(queries, emb, 0, 4, 16).count()
+    val nQ = queries.count()
+    assert(nCand < nQ * 200 * 8 / 10,
+      s"IVF candidates $nCand ~ brute force (${nQ * 200})")
+  }
+
   test("autoPlanes grows with log n and is clamped") {
     assert(Ann.autoPlanes(100) == 4) // floor
     assert(Ann.autoPlanes(256L << 10) == 10)
@@ -328,20 +353,61 @@ class OpsSpec extends SparkTestBase {
     assert(chunks.forall(_._3 <= 16))
   }
 
-  test("connectedComponents: deep chain converges with enough rounds, throws otherwise") {
+  test("connectedComponents: deep chain converges under the DEFAULT maxIter") {
     import spark.implicits._
-    val n = 30
+    // a 200-node PATH: diameter 199, so the r4 min-label propagation
+    // needed maxIter raised to ~200 — large-star/small-star contraction
+    // must close it in O(log n) rounds under the default budget
+    val n = 200
     val nodes = (0L until n.toLong).toDF("doc_id")
     val chain = (0L until (n - 1).toLong)
       .map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val ok = graft.ops.Dedup.connectedComponents(nodes, chain, maxIter = 40)
+    val ok = graft.ops.Dedup.connectedComponents(nodes, chain)
       .as[(Long, Long)].collect()
+    assert(ok.length == n)
     assert(ok.forall(_._2 == 0L)) // one component, rep = min id
     // a silent wrong-rep return is worse than failing: non-convergence
-    // within maxIter must throw
+    // within maxIter must still throw
     intercept[IllegalStateException] {
-      graft.ops.Dedup.connectedComponents(nodes, chain, maxIter = 5)
+      graft.ops.Dedup.connectedComponents(nodes, chain, maxIter = 1)
         .collect()
+    }
+  }
+
+  test("connectedComponents == local union-find on random graphs") {
+    import spark.implicits._
+    // cross-check the star-contraction result against a plain local
+    // union-find over several deterministic random edge sets (mixed
+    // shapes: chains, cliques, isolated nodes, full-range hash-like ids)
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 7919)
+      val n = 60
+      val ids = (0 until n).map(i =>
+        if (seed == 3) (graft.util.CrossHash.h60(s"node_$i") - (1L << 59))
+        else i.toLong)
+      val m = 45 + rnd.nextInt(30)
+      val rawPairs = (0 until m).map { _ =>
+        (ids(rnd.nextInt(n)), ids(rnd.nextInt(n)))
+      }.filter { case (a, b) => a != b }
+      val nodes = ids.toDF("doc_id")
+      val pairs = rawPairs.toDF("doc_a", "doc_b")
+      // local union-find oracle
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      rawPairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = ids.map(i => i -> find(i)).toMap
+      val got = graft.ops.Dedup.connectedComponents(nodes, pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"seed $seed")
     }
   }
 

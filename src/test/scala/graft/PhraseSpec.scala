@@ -91,6 +91,37 @@ class PhraseSpec extends SparkTestBase {
     assert(capped.toSet == wantCapped)
   }
 
+  test("budgets default FINITE; findOccurrences caps candidates pre-join") {
+    import spark.implicits._
+    // the reference ships with its budgets ON (gin.c:33-37); a serving
+    // layer calling with defaults must inherit a real cap
+    assert(Phrase.DefaultMaxCandidates < Long.MaxValue)
+    val docs = Builder.withDocIds(corpus)
+      .select($"doc_id", $"content").as[(Long, String)].collect()
+    val pair = docs.iterator.flatMap { case (_, c) =>
+      Tokenizer.tokens(c).toSeq.sliding(2).toSeq
+    }.toSeq.groupBy(identity).maxBy(_._2.size)._1
+    val q = Seq(Searcher.Query(1, pair.mkString(" ")))
+    val all = Phrase.findOccurrences(spark, indexDir, q)
+      .as[(Long, Long, Long)].collect()
+    // candidate budget caps the DOC set feeding the positions join: the
+    // occurrences that survive are exactly those of the `cap` smallest
+    // candidate doc_ids (a hot two-term phrase under a budget touches <=
+    // budget candidate docs)
+    val cap = 5
+    val candidates = docs.filter { case (_, c) =>
+      val ts = Tokenizer.tokens(c).toSet
+      ts.contains(pair(0)) && ts.contains(pair(1))
+    }.map(_._1).sorted
+    assert(candidates.length > cap, s"fixture: ${candidates.length} candidates")
+    val keep = candidates.take(cap).toSet
+    val capped = Phrase.findOccurrences(spark, indexDir, q,
+        maxCandidates = cap)
+      .as[(Long, Long, Long)].collect()
+    assert(capped.map(_._2).toSet.subsetOf(keep))
+    assert(capped.toSet == all.filter(r => keep.contains(r._2)).toSet)
+  }
+
   test("maxCandidates budget caps the verification set deterministically") {
     import spark.implicits._
     // a phrase of two COMMON terms: many conjunctive candidates

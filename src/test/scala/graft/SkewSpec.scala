@@ -82,6 +82,13 @@ class SkewSpec extends SparkTestBase {
     assert(raw.size > nBuckets,
       s"postings_raw populated only ${raw.size} shuffle partitions " +
         s"(<= nBuckets=$nBuckets): build write parallelism collapsed")
+    // the dictionary stage must spread the same way: its shuffle key is
+    // (bucket, hash(term) subsplit), so a wide vocabulary populates more
+    // reduce tasks than nBuckets (the last bucket-only collapse, r5)
+    val dict = partIds("dictionary")
+    assert(dict.size > nBuckets,
+      s"dictionary populated only ${dict.size} shuffle partitions " +
+        s"(<= nBuckets=$nBuckets): dictionary write parallelism collapsed")
     // queries over the subsplit layout stay correct
     val hits = graft.query.Searcher.searchTopK(spark, dir,
       Seq(graft.query.Searcher.Query(1, "hot uniq_7")), 5, nBuckets = nBuckets)
