@@ -238,6 +238,7 @@ object Bench {
       val wandRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
       val relRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
       val execRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val execStripedRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
       def runLegPair(): Unit = {
         wandRuns += time {
           batchQueries.grouped(64).foreach { g =>
@@ -290,6 +291,14 @@ object Bench {
         Searcher.searchTopKWandExecutors(spark, idxDir, batchQueries, 10)
           .count()
       }._2
+      // striped leg: stripePostings=4096 forces the common-term queries
+      // into many doc-range stripes — the Σ df ≫ budget shape that used
+      // to fall back to the relational plan (r5: same exact BMW loop,
+      // bounded per-group memory)
+      execStripedRuns += time {
+        Searcher.searchTopKWandExecutors(spark, idxDir, batchQueries, 10,
+          stripePostings = 4096L).count()
+      }._2
       runGateQueries() // spread point 2 of 3
       runLegPair()
 
@@ -335,6 +344,10 @@ object Bench {
       execRuns += time {
         Searcher.searchTopKWandExecutors(spark, idxDir, batchQueries, 10)
           .count()
+      }._2
+      execStripedRuns += time {
+        Searcher.searchTopKWandExecutors(spark, idxDir, batchQueries, 10,
+          stripePostings = 4096L).count()
       }._2
       runGateQueries() // spread point 3 of 3
       runLegPair() // 4th spread point
@@ -453,6 +466,7 @@ object Bench {
         wandRuns.toSeq, relRuns.toSeq, nBatch, fracSf, fracSynth, synthQps,
         qpsByTerms, qpsBySubstr, stageSecs.toSeq, decodePerSec,
         decodedMatches, execQps, execRuns.toSeq,
+        nBatch / execStripedRuns.min, execStripedRuns.toSeq,
         gateQueryRuns.toSeq.map { case (n, rs) => n -> rs.toSeq },
         bppOrdered, bppScrambled)
     }
@@ -487,6 +501,8 @@ object Bench {
       s""""wand_runs_sec":${arr(wandRuns)},""" +
       s""""rel_runs_sec":${arr(relRuns)},""" +
       s""""wand_exec_runs_sec":${arr(execRuns)},""" +
+      s""""wand_exec_striped_queries_per_sec":${f"$execStripedQps%.1f"},""" +
+      s""""wand_exec_striped_runs_sec":${arr(execStripedRuns)},""" +
       s""""query_runs":${gateQueryRuns.map { case (n, rs) =>
         s""""$n":${arr(rs)}""" }.mkString("{", ",", "}")},""" +
       s""""bytes_per_posting_by_ordering":{"repo_path":${f"$bppOrdered%.3f"},""" +
@@ -511,6 +527,7 @@ object Bench {
       qpsByTerms: Seq[(Int, Double)], qpsBySubstr: Seq[(Int, Double)],
       stageSecs: Seq[(String, Double)], decodePerSec: Double,
       decodedMatches: Long, execQps: Double, execRuns: Seq[Double],
+      execStripedQps: Double, execStripedRuns: Seq[Double],
       gateQueryRuns: Seq[(String, Seq[Double])],
       bppOrdered: Double, bppScrambled: Double)
 }

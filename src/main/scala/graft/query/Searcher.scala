@@ -40,9 +40,24 @@ object Searcher {
   case object And extends Mode // posting-list intersection (north rule)
   case object Or extends Mode // disjunctive BM25
 
-  /** Σ df above which searchTopK routes to the distributed relational
-    * plan instead of the driver-local WAND loop. */
+  /** Σ df above which searchTopK stops using the DRIVER-local WAND loop
+    * (whose collected block set must fit the driver heap) and evaluates
+    * on executors instead. Since r5 this is a driver-memory bound only —
+    * the executor path stripes big posting volumes into bounded groups,
+    * so no volume falls back to the slower relational plan. */
   val WandDfCap = 5000000L
+
+  /** Target postings per executor-WAND stripe group (~4 B/posting
+    * compressed ≈ 8 MB buffered per group): a query whose Σ df exceeds
+    * this is split into doc-range stripes, each evaluated exactly by the
+    * same BMW loop over its own range, merged by the typed top-k
+    * aggregator. Group memory is O(this), never O(Σ df). */
+  val ExecStripePostings = 2000000L
+
+  /** Stripe-count ceiling per query (keeps the block fan-out bounded:
+    * a rare term's wide-span block is replicated into every stripe it
+    * overlaps, so fan-out <= terms × stripes × blockSize postings). */
+  val MaxStripesPerQuery = 1024
 
   /** Batch size at/above which searchTopK evaluates WAND on executors
     * (searchTopKWandExecutors) instead of the driver thread pool: big
@@ -71,10 +86,15 @@ object Searcher {
         math.min(16, Runtime.getRuntime.availableProcessors())))
 
   /** Top-k search over a built index — dispatcher.
-    * Small posting volume (Σ df of the query's terms <= WandDfCap): the
-    * exact block-max WAND loop over collected (still-compressed) blocks —
-    * the serving path. Larger: the distributed relational plan. Both
-    * produce identical rankings ((score6 DESC, doc_id ASC)).
+    * Small batch + small posting volume (Σ df <= WandDfCap, which bounds
+    * the driver-side block collect): the driver-local exact BMW loop —
+    * the latency path (no job scheduling). Anything bigger — large
+    * batches OR big posting volumes — runs the SAME exact BMW loop on
+    * executors, striped so per-group memory stays bounded regardless of
+    * Σ df (r4 sent over-cap volumes to the 2-4x slower relational plan;
+    * r5 removes that fallback — the relational plan remains available
+    * directly for set-oriented callers). All paths produce identical
+    * rankings ((score6 DESC, doc_id ASC)).
     * Returns (query_id, rank, doc_id, score) with rank 1..k. */
   def searchTopK(spark: SparkSession, indexDir: String, queries: Seq[Query],
                  k: Int, mode: Mode = And, nBuckets: Int = 32): DataFrame = {
@@ -82,9 +102,7 @@ object Searcher {
     val allTerms = queries.flatMap(q => Tokenizer.tokens(q.text)).distinct
     val dfSum = handle.dfOf(allTerms).values.sum
     lastStats.clear() // per-dispatched-batch counters only (see doc)
-    if (dfSum > WandDfCap)
-      searchTopKRelational(spark, indexDir, queries, k, mode, nBuckets)
-    else if (queries.size >= ExecBatchThreshold)
+    if (queries.size >= ExecBatchThreshold || dfSum > WandDfCap)
       searchTopKWandExecutors(spark, indexDir, queries, k, mode, nBuckets)
     else
       searchTopKWand(spark, indexDir, queries, k, mode, nBuckets)
@@ -186,16 +204,25 @@ object Searcher {
     * scale): still-compressed blocks join the broadcast query-term table
     * on `term` (one shuffle, block payloads fan out only to the queries
     * that need them — bounded by batch size), then ONE flatMapGroups per
-    * query rebuilds the per-term cursors and runs the IDENTICAL
-    * `Wand.topK` loop on an executor. Rankings are bit-identical to
-    * `searchTopKWand` (same code path per query); the driver never holds
-    * a posting block, so batch size and posting volume scale with the
-    * cluster, not the driver heap. Skew note: per-group memory equals
-    * one query's term blocks — the same bound the driver loop already
-    * imposes per thread. */
+    * (query, doc-range stripe) rebuilds the per-term cursors and runs
+    * the IDENTICAL `Wand.topK` loop on an executor; per-stripe exact
+    * top-ks merge through the typed TopKAgg into the global exact top-k
+    * (every doc is scored in exactly one stripe, with every term's
+    * covering block present — Wand.topK's [minDoc, maxDoc] contract).
+    * Rankings are bit-identical to `searchTopKWand`.
+    *
+    * Memory: a query whose Σ df exceeds `stripePostings` is split into
+    * up to MaxStripesPerQuery uniform doc-range stripes, so per-group
+    * buffered postings stay ~O(stripePostings) — the driver never holds
+    * a block, and no single executor group holds a whole common term.
+    * Uniform doc striping tracks posting volume because the over-cap
+    * terms are by construction the high-df ones, whose postings spread
+    * across the doc space; a rare term's wide block is replicated into
+    * each stripe it overlaps (bounded by the stripe ceiling). */
   def searchTopKWandExecutors(spark: SparkSession, indexDir: String,
       queries: Seq[Query], k: Int, mode: Mode = And,
-      nBuckets: Int = 32): DataFrame = {
+      nBuckets: Int = 32,
+      stripePostings: Long = ExecStripePostings): DataFrame = {
     import spark.implicits._
     val handle = IndexHandle.open(spark, indexDir, nBuckets)
     val stats = handle.stats
@@ -226,27 +253,45 @@ object Searcher {
     }.toDF("query_id", "rank", "doc_id", "score")
     if (liveQs.isEmpty) return cachedDf
     val liveTerms = liveQs.values.flatten.toSeq.distinct.filter(dict.contains)
+    // per-query stripe plan from the (already-probed) dictionary dfs:
+    // driver-side arithmetic only, no extra jobs
     val qt = liveQs.toSeq.flatMap { case (qid, ts) =>
-      ts.filter(dict.contains)
-        .map(t => (qid, t, Bm25.idf(stats.n_docs, dict(t))))
-    }.toDF("query_id", "term", "idf")
+      val present = ts.filter(dict.contains)
+      val dfSumQ = present.map(dict).sum
+      val nS = math.max(1L, math.min(MaxStripesPerQuery.toLong,
+        (dfSumQ + stripePostings - 1) / math.max(1L, stripePostings)))
+      val w = math.max(1L, (stats.n_docs + nS - 1) / nS)
+      present.map(t => (qid, t, Bm25.idf(stats.n_docs, dict(t)), nS, w))
+    }.toDF("query_id", "term", "idf", "n_stripes", "stripe_w")
     val avgdl = stats.avgdl
     val wandMode = if (mode == And) Wand.And else Wand.Or
-    handle.blocksFor(liveTerms)
+    val perStripe = handle.blocksFor(liveTerms)
       .join(broadcast(qt), "term")
-      .select(col("query_id"), col("term"), col("idf"), col("block_id"),
+      // a block [base, max] feeds every stripe it overlaps; ids past the
+      // last stripe boundary (e.g. post-ingest docs beyond stats.n_docs)
+      // clamp into the last stripe, so every doc lands in exactly one
+      .withColumn("stripe", explode(sequence(
+        expr("least(doc_id_base div stripe_w, n_stripes - 1)"),
+        expr("least(doc_id_max div stripe_w, n_stripes - 1)"))))
+      .select(col("query_id"), col("stripe"), col("n_stripes"),
+        col("stripe_w"), col("term"), col("idf"), col("block_id"),
         col("doc_id_base"), col("doc_id_max"), col("num_docs"),
         col("max_tf"), col("min_dl"), col("doc_deltas"), col("tfs"),
         col("dls"))
-      .as[(Long, String, Double, Int, Long, Long, Int, Int, Int,
-        Array[Byte], Array[Byte], Array[Byte])]
-      .groupByKey(_._1)
-      .flatMapGroups { (qid: Long, it: Iterator[(Long, String, Double, Int,
-          Long, Long, Int, Int, Int, Array[Byte], Array[Byte], Array[Byte])]) =>
+      .as[(Long, Long, Long, Long, String, Double, Int, Long, Long, Int,
+        Int, Int, Array[Byte], Array[Byte], Array[Byte])]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Long,
+          Long, String, Double, Int, Long, Long, Int, Int, Int,
+          Array[Byte], Array[Byte], Array[Byte])]) =>
+        val (qid, stripe) = key
         val byTerm = scala.collection.mutable.LinkedHashMap
           .empty[String, (Double, scala.collection.mutable.ArrayBuffer[PostingBlock])]
+        var nS = 1L; var w = Long.MaxValue
         it.foreach { r =>
-          val (_, term, idf, bid, base, max, nd, mtf, mdl, dd, tfs, dls) = r
+          val (_, _, rNS, rW, term, idf, bid, base, max, nd, mtf, mdl,
+            dd, tfs, dls) = r
+          nS = rNS; w = rW
           byTerm.getOrElseUpdate(term,
             (idf, scala.collection.mutable.ArrayBuffer.empty[PostingBlock]))
             ._2 += PostingBlock(term, bid, base, max, nd, mtf, mdl, dd, tfs, dls)
@@ -254,10 +299,20 @@ object Searcher {
         val tbs = byTerm.iterator.map { case (t, (idf, bs)) =>
           Wand.TermBlocks(t, idf, bs.sortBy(_.doc_id_base).toArray)
         }.toSeq
-        val (hits, _) = Wand.topK(tbs, k, avgdl, wandMode)
-        hits.iterator.zipWithIndex.map { case (s, i) =>
-          (qid, i + 1, s.doc_id, s.score)
-        }
+        val minDoc = stripe * w
+        val maxDoc = if (stripe >= nS - 1) Long.MaxValue else stripe * w + w - 1
+        val (hits, _) = Wand.topK(tbs, k, avgdl, wandMode, minDoc, maxDoc)
+        hits.iterator.map(s => (qid, s.doc_id, s.score))
+      }
+    // merge per-stripe exact top-ks (<= k rows per stripe cross this
+    // shuffle) into the global exact top-k per query
+    val topk = new TopKAgg(k)
+    perStripe
+      .groupByKey(_._1)
+      .mapValues(r => Scored(r._2, r._3))
+      .agg(topk.toColumn.name("topk"))
+      .flatMap { case (qid, hits) =>
+        hits.zipWithIndex.map { case (s, i) => (qid, i + 1, s.doc_id, s.score) }
       }
       .toDF("query_id", "rank", "doc_id", "score")
       .unionByName(cachedDf)

@@ -16,9 +16,10 @@ import graft.index.{Bm25, Codec, PostingBlock}
   *
   * This is the serving-path scorer: executors/the handle deliver the
   * (term-pruned, compact) block lists; the per-query merge is a single
-  * tight loop — the same split Lucene-style engines use. The relational
-  * Searcher path remains for queries whose block sets exceed the
-  * driver cap.
+  * tight loop — the same split Lucene-style engines use. Posting volumes
+  * beyond one group's memory are handled by doc-range striping
+  * ([minDoc, maxDoc] below); the relational Searcher path remains for
+  * set-oriented callers.
   */
 object Wand {
 
@@ -141,9 +142,16 @@ object Wand {
 
   private def round6(x: Double): Double = Bm25.round6(x)
 
-  /** Exact top-k. Returns ((doc_id, score6) ranked, stats). */
+  /** Exact top-k over docs in [minDoc, maxDoc]. Returns ((doc_id,
+    * score6) ranked, stats). The doc range is the striped-executor
+    * contract (Searcher.searchTopKWandExecutors): a stripe evaluates
+    * only its own doc interval, blocks outside are skipped by metadata,
+    * and the per-stripe exact top-k merge reconstructs the global exact
+    * top-k because every doc is scored in exactly one stripe with every
+    * term's covering block present. Defaults evaluate the full range. */
   def topK(terms: Seq[TermBlocks], k: Int, avgdl: Double,
-           mode: Mode = And): (Seq[Scored], QueryStats) = {
+           mode: Mode = And, minDoc: Long = 0L,
+           maxDoc: Long = Long.MaxValue): (Seq[Scored], QueryStats) = {
     if (terms.isEmpty || k <= 0) return (Nil, QueryStats(0, 0, 0))
     val cursors = terms.map(t => new Cursor(t.idf, t.blocks, avgdl)).toArray
     val heap = new TopKAgg(k)
@@ -160,9 +168,10 @@ object Wand {
       // those (the full-evaluation analog of the reference's fork
       // advance, now with whole-block strides).
       val totalUB = cursors.map(_.termUB).sum
-      var target = 0L
+      var target = minDoc
       var done = false
       while (!done) {
+        if (target > maxDoc) done = true
         // 1. metadata-only block seek
         var i = 0
         while (i < cursors.length && !done) {
@@ -205,6 +214,7 @@ object Wand {
                   else if (d > doc) doc = d
                   i += 1
                 }
+                if (!done && doc > maxDoc) done = true
                 if (!done) {
                   var aligned = true
                   i = 0
@@ -231,12 +241,17 @@ object Wand {
     } else {
       // disjunctive WAND with block-max refinement
       val cs = cursors.clone()
+      if (minDoc > 0L) {
+        var i = 0
+        while (i < cs.length) { cs(i).advanceTo(minDoc); i += 1 }
+      }
       var continue = true
       while (continue) {
         // sort by current doc (n is tiny: query terms)
         scala.util.Sorting.stableSort(cs,
           (a: Cursor, b: Cursor) => a.currentDoc < b.currentDoc)
-        if (cs(0).currentDoc == Long.MaxValue) continue = false
+        if (cs(0).currentDoc == Long.MaxValue || cs(0).currentDoc > maxDoc)
+          continue = false
         else {
           // find pivot: first prefix whose Σ termUB >= θ
           val th = theta - Eps

@@ -86,6 +86,34 @@ class IndexSpec extends SparkTestBase {
     }
   }
 
+  test("striped executor WAND (Σ df ≫ stripe budget) is rank-identical") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Long, Double)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    // stripePostings=64 on a 400-doc corpus forces every query into many
+    // doc-range stripes (the Σ df ≫ budget shape that used to fall back
+    // to the relational plan); per-stripe exact top-ks must merge into
+    // the exact global ranking for AND and OR alike
+    for (mode <- Seq(Searcher.And, Searcher.Or)) {
+      val driver = rows(Searcher.searchTopKWand(spark, indexDir,
+        sampleQueries, 10, mode, nBuckets = 8))
+      val striped = rows(Searcher.searchTopKWandExecutors(spark, indexDir,
+        sampleQueries, 10, mode, nBuckets = 8, stripePostings = 64L))
+      assert(striped == driver, s"mode $mode")
+      assert(striped.nonEmpty)
+    }
+    // dispatcher sends over-cap volumes to the executor path now: same
+    // rankings through the public entry (cap can't be crossed at test
+    // scale, so call the executor path as the dispatcher would)
+    val one = rows(Searcher.searchTopKWandExecutors(spark, indexDir,
+      Seq(Query(60, "id_0 id_1")), 5, Searcher.And, nBuckets = 8,
+      stripePostings = 1L)) // 1 posting/stripe -> MaxStripesPerQuery clamp
+    val oneDrv = rows(Searcher.searchTopKWand(spark, indexDir,
+      Seq(Query(60, "id_0 id_1")), 5, Searcher.And, nBuckets = 8))
+    assert(one == oneDrv)
+  }
+
   test("head cache: cached single-term results identical to live search") {
     import graft.query.{HeadCache, IndexHandle}
     // build cache over head terms of the shared index

@@ -94,6 +94,34 @@ class WandSpec extends AnyFunSuite with PropHelpers {
     assert(stats.docsScored <= 3)
   }
 
+  test("per-stripe topK merge == full-range topK (striped-executor contract)") {
+    // Wand.topK's [minDoc, maxDoc] contract: partition the doc space into
+    // arbitrary contiguous stripes, run exact topK per stripe over the
+    // SAME block lists, merge the per-stripe results by (score6 DESC,
+    // doc_id ASC) — must equal the unrestricted topK, for AND and OR
+    forAll(genCorpus, 60) { c =>
+      val nDocs = 200L
+      for (blockSize <- Seq(4, 16); k <- Seq(3, 10);
+           width <- Seq(7L, 50L, 200L)) {
+        val tbs = c.terms.map { case (t, ps) =>
+          Wand.TermBlocks(t, Bm25.idf(nDocs, ps.size.toLong),
+            mkBlocks(t, ps, c.avgdl, blockSize))
+        }.toSeq
+        for (mode <- Seq(Wand.And, Wand.Or)) {
+          val full = Wand.topK(tbs, k, c.avgdl, mode)._1
+            .map(s => (s.doc_id, s.score))
+          val striped = (0L until nDocs by width).flatMap { lo =>
+            Wand.topK(tbs, k, c.avgdl, mode, lo,
+              math.min(lo + width - 1, Long.MaxValue))._1
+          }.map(s => (s.doc_id, s.score))
+            .sortBy { case (d, s) => (-s, d) }.take(k)
+          assert(striped == full,
+            s"mode=$mode blockSize=$blockSize k=$k width=$width")
+        }
+      }
+    }
+  }
+
   test("empty term list and k=0 behave") {
     assert(Wand.topK(Nil, 10, 50.0, Wand.And)._1.isEmpty)
     val tb = Wand.TermBlocks("t", 1.0,
