@@ -450,8 +450,24 @@ object Bench {
           saltTarget = 2000, shufflePartitions = cpus,
           verifySegments = false,
           orderCols = Seq("ord", "repo", "path", "commit")))
+      // the ordering PRODUCER leg (the annealing-analog claim): compute a
+      // minhash-clustering permutation from CONTENT ALONE and build under
+      // it — on a corpus whose directory layout carries no locality (the
+      // scrambled build above), the computed order must recover most of
+      // the locality the layout-aware default gets for free
+      val permDir = freshDir("synth-perm")
+      Builder.build(spark,
+        Builder.withPermutation(Synth.localizedCorpus(spark, 20000),
+          graft.index.DocOrder.minhashPermutation(
+            Synth.localizedCorpus(spark, 20000))),
+        permDir,
+        Builder.Config(blockSize = 128, nBuckets = 16, nSegments = 2,
+          saltTarget = 2000, shufflePartitions = cpus,
+          verifySegments = false,
+          orderCols = Seq("ord", "repo", "path", "commit")))
       val bppOrdered = bppOf(synthDir)
       val bppScrambled = bppOf(shufDir)
+      val bppComputed = bppOf(permDir)
 
       // compression: payload bytes per posting vs a 12-byte raw row
       val (payloadBytes, nPostings) = spark.read.parquet(s"$idxDir/postings")
@@ -468,7 +484,7 @@ object Bench {
         decodedMatches, execQps, execRuns.toSeq,
         nBatch / execStripedRuns.min, execStripedRuns.toSeq,
         gateQueryRuns.toSeq.map { case (n, rs) => n -> rs.toSeq },
-        bppOrdered, bppScrambled)
+        bppOrdered, bppScrambled, bppComputed)
     }
     import result._
 
@@ -506,7 +522,8 @@ object Bench {
       s""""query_runs":${gateQueryRuns.map { case (n, rs) =>
         s""""$n":${arr(rs)}""" }.mkString("{", ",", "}")},""" +
       s""""bytes_per_posting_by_ordering":{"repo_path":${f"$bppOrdered%.3f"},""" +
-      s""""scrambled":${f"$bppScrambled%.3f"}},""" +
+      s""""scrambled":${f"$bppScrambled%.3f"},""" +
+      s""""computed_minhash":${f"$bppComputed%.3f"}},""" +
       s""""qps_by_terms":${qpsMap(qpsByTerms)},""" +
       s""""qps_by_substr_len":${qpsMap(qpsBySubstr)},""" +
       s""""matches_decoded_per_sec":${f"$decodePerSec%.1f"},""" +
@@ -529,5 +546,5 @@ object Bench {
       decodedMatches: Long, execQps: Double, execRuns: Seq[Double],
       execStripedQps: Double, execStripedRuns: Seq[Double],
       gateQueryRuns: Seq[(String, Seq[Double])],
-      bppOrdered: Double, bppScrambled: Double)
+      bppOrdered: Double, bppScrambled: Double, bppComputed: Double)
 }

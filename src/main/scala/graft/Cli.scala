@@ -76,7 +76,7 @@ object Cli {
   /** Dispatch; returns a result DataFrame for query-like subcommands. */
   def run(spark: SparkSession, args: Array[String]): Option[DataFrame] = {
     require(args.nonEmpty, "subcommand required: index|query|count|phrase|" +
-      "substring|decode|cache|compact|deindex|spectrum|clean|serve")
+      "substring|decode|cache|compact|order|deindex|spectrum|clean|serve")
     val o = opts(args)
     def conf = Builder.Config(
       blockSize = o.getOrElse("block-size", "128").toInt,
@@ -145,6 +145,20 @@ object Cli {
         None
       case "compact" =>
         graft.streaming.Compactor.compact(spark, index, conf)
+        None
+      case "order" =>
+        // permutation PRODUCER (`gin permutation` analog): compute a
+        // minhash-clustering doc order and write the rank table that
+        // `index --permutation` consumes (DocOrder.minhashPermutation)
+        val corpus = o.getOrElse("format", "parquet") match {
+          case "jsonl" => Corpus.fromJsonl(spark, o("input"))
+          case "documents" => Corpus.fromDocuments(spark, o("input"))
+          case _ => spark.read.parquet(o("input"))
+            .select("repo", "path", "commit", "lang", "content")
+        }
+        graft.index.DocOrder.minhashPermutation(corpus,
+            nHashes = o.getOrElse("hashes", "16").toInt)
+          .write.mode("overwrite").parquet(o("out"))
         None
       case "deindex" =>
         // reconstruct the original ingest frame from the index (`gin

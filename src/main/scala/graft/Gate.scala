@@ -228,6 +228,20 @@ object Gate {
     .map { case (id, p) => s"($id, '${p.replace("'", "''")}')" }
     .mkString(", ")
 
+  /** Minhash signature width for the q_docorder gate (small: the gate
+    * verifies the sort's EXACT reproducibility, not clustering quality). */
+  val DocOrderNHashes = 8
+
+  /** Generated from the SAME CrossHash.minhashCoeff the Scala side uses,
+    * so the SQL literals can never drift from the engine. */
+  private val DocOrderSigSql: String = (0 until DocOrderNHashes).map { i =>
+    val (a, b) = graft.util.CrossHash.minhashCoeff(i)
+    s"min(($a * x31 + $b) % 2147483647) AS s$i"
+  }.mkString(",\n               ")
+
+  private val DocOrderRankSql: String =
+    (0 until DocOrderNHashes).map(i => s"s$i").mkString(", ")
+
   // ---- shared SQL prelude (DuckDB): identical corpus mapping,
   //      docID assignment, tokenizer, postings, dict, stats -------------
   private val Prelude = s"""
@@ -314,6 +328,16 @@ object Gate {
         Searcher.Or, nBuckets = gateConfig.nBuckets)
       .select(col("query_id").cast("long"), col("rank").cast("long"),
         col("doc_id").cast("long"), col("score"))
+
+  /** Ordering producer (the `gin permutation` analog): the minhash-
+    * clustering doc order, hash-checked against a DuckDB re-derivation
+    * of the same signature sort (CrossHash keeps the minhash arithmetic
+    * exactly reproducible in SQL). */
+  def qDocOrder(s: SparkSession, dir: String): DataFrame =
+    graft.index.DocOrder.minhashPermutation(Corpus.fromDocuments(s, dir),
+        nHashes = DocOrderNHashes)
+      .select(col("repo"), col("path"), col("commit"),
+        col("ord").cast("long"))
 
   def qPhrase(s: SparkSession, dir: String): DataFrame =
     graft.query.Phrase.searchTopK(s, indexDir(s, dir), GatePhrases, 10)
@@ -542,6 +566,22 @@ object Gate {
       """SELECT r.query_id, r.rank, r.doc_id, r.score,
                i.repo, i.path, i.commit_id AS "commit"
          FROM ranked r JOIN ids i USING (doc_id) WHERE r.rank <= 5"""),
+
+    "q_docorder" -> s"""$Prelude,
+      dtoks AS (
+        SELECT DISTINCT i.repo, i.path, i.commit_id, t.term
+        FROM toks t JOIN ids i USING (doc_id)),
+      xs AS (
+        SELECT repo, path, commit_id,
+               ${graft.util.CrossHash.h60Sql("term")} % 2147483647 AS x31
+        FROM dtoks),
+      sig AS (
+        SELECT repo, path, commit_id, $DocOrderSigSql
+        FROM xs GROUP BY 1, 2, 3)
+      SELECT repo, path, commit_id AS "commit",
+             row_number() OVER (ORDER BY $DocOrderRankSql,
+               repo, path, commit_id) - 1 AS ord
+      FROM sig""",
 
     "q_phrase" -> s"""$Prelude,
       ph(query_id, phrase) AS (VALUES $PhValuesSql),
@@ -1036,6 +1076,7 @@ object Gate {
     "q_topk_bm25" -> (qTopkBm25 _),
     "q_topk_resolved" -> (qTopkResolved _),
     "q_topk_or" -> (qTopkOr _),
+    "q_docorder" -> (qDocOrder _),
     "q_phrase" -> (qPhrase _),
     "q_match_count" -> (qMatchCount _),
     "q_boolean_and" -> (qBooleanAnd _),

@@ -170,6 +170,40 @@ class IndexHandle private (
     }.toMap
   }
 
+  /** Per-term max tfNorm over block metadata (max over blocks of
+    * tfNorm(max_tf, min_dl, avgdl)) — the term-level score upper bound
+    * feeding the relational OR maxscore prune
+    * (Searcher.pruneBlocksOrMaxscore). Metadata-only aggregation, cached
+    * like the interval cache (index-static until ingest invalidates the
+    * handle). */
+  private val ubCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  /** Max tfNorm per term; absent/empty terms are omitted. */
+  def maxTfNormOf(terms: Seq[String]): Map[String, Double] = {
+    import spark.implicits._
+    if (ubCache.size > MaxCachedTerms) ubCache.clear()
+    val missing = terms.distinct.filterNot(ubCache.containsKey)
+    if (missing.nonEmpty) {
+      val a = stats.avgdl
+      val k1 = graft.index.Bm25.K1
+      val b = graft.index.Bm25.B
+      blocksFor(missing)
+        .groupBy("term")
+        .agg(max(col("max_tf") / (col("max_tf") +
+          lit(k1) * (lit(1 - b) + lit(b) * col("min_dl") / lit(a))))
+          .as("ub"))
+        .as[(String, Double)].collect()
+        .foreach { case (t, ub) => ubCache.put(t, ub) }
+      missing.filterNot(ubCache.containsKey)
+        .foreach(t => ubCache.put(t, -1.0))
+    }
+    terms.flatMap { t =>
+      val v = ubCache.get(t)
+      if (v == null || v < 0) None else Some(t -> v.doubleValue)
+    }.toMap
+  }
+
   /** Probe results for the non-resident dictionary path, cached like the
     * interval cache (absent terms store -1 so they never re-probe; the
     * handle is dropped on ingest, so staleness cannot outlive the index

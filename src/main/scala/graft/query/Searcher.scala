@@ -354,10 +354,12 @@ object Searcher {
 
     val blocks0 = handle.blocksFor(liveTerms)
 
-    // block-max/interval pruning (AND only): a conjunctive candidate doc
-    // must lie in every term's covered doc ranges
+    // block-max/interval pruning: AND intersects every term's covered doc
+    // ranges; OR runs the maxscore candidate prune (essential terms keep
+    // all blocks, non-essential blocks outside every essential interval
+    // are never decoded)
     val blocks = if (mode == And) pruneBlocks(spark, handle, blocks0, live)
-      else blocks0
+      else pruneBlocksOrMaxscore(spark, handle, blocks0, live, dict, k)
 
     // native generator decode: binary block columns -> posting rows,
     // no case-class encoder round-trip
@@ -485,6 +487,138 @@ object Searcher {
     blocks.join(ivDf,
       blocks("term") === ivDf("t") && blocks("doc_id_max") >= ivDf("lo") &&
         blocks("doc_id_base") <= ivDf("hi"), "left_semi")
+  }
+
+  /** df cap on the seed term of the OR maxscore bootstrap: the seed's
+    * postings are scored once extra (phase 0), so only bootstrap when the
+    * max-upper-bound term is selective enough for that pass to be cheap —
+    * exactly the head+tail query mix the prune wins on. A query whose
+    * EVERY term is common skips the prune (nothing selective to anchor
+    * candidates anyway). */
+  val OrSeedDfCap = 200000L
+
+  /** Safety margin on the maxscore threshold: scores are rounded to 6dp
+    * before ranking, so the non-essential cutoff must clear the rounding
+    * radius or a pruned doc could round into a tie it deserved. */
+  val OrPruneMargin = 1e-5
+
+  /** Maxscore candidate pruning for the relational OR path (TAAT
+    * maxscore, Turtle & Flood — public knowledge; the reference applies
+    * its budget machinery to every query mode the same way,
+    * /root/reference/gin.c:723-730). Per query:
+    *
+    *  1. bootstrap θ_lb = the k-th best SINGLE-TERM score of the query's
+    *     max-upper-bound term (phase 0, distributed, seed df-capped) — a
+    *     sound lower bound on the true top-k threshold because every
+    *     doc's full score >= its seed-term contribution;
+    *  2. split terms by descending upper bound UB(t) = idf·(k1+1)·max
+    *     tfNorm (block metadata): the maximal suffix with Σ UB < θ_lb −
+    *     margin is NON-ESSENTIAL — a doc containing only those terms
+    *     cannot reach the top-k;
+    *  3. candidates therefore all lie in essential terms' doc-range
+    *     intervals: essential blocks are kept whole, non-essential blocks
+    *     that overlap NO essential interval are dropped before decode.
+    *
+    * Soundness of partial scores: any candidate (doc in an essential
+    * posting) lies inside the essential intervals, so EVERY block
+    * containing it survives — candidates are always fully scored. A
+    * non-candidate doc may survive in partially-scored form via blocks
+    * shared with candidates, but its partial <= full < θ_lb − margin, so
+    * it can neither displace nor tie a true top-k doc. Queries with no
+    * selective seed (df cap) or a too-low θ_lb keep all blocks. */
+  private[graft] def pruneBlocksOrMaxscore(spark: SparkSession,
+      handle: IndexHandle, blocks: DataFrame, live: Map[Long, Seq[String]],
+      dict: Map[String, Long], k: Int): DataFrame = {
+    import spark.implicits._
+    val stats = handle.stats
+    val terms = live.values.flatten.toSeq.distinct.filter(dict.contains)
+    val tfn = handle.maxTfNormOf(terms)
+    def ub(t: String): Double =
+      Bm25.idf(stats.n_docs, dict(t)) * (Bm25.K1 + 1.0) * tfn.getOrElse(t, 0.0)
+    // per-query seed = the max-UB term, when selective enough to score
+    // cheaply and deep enough to yield a k-th score
+    val seeds: Map[Long, String] = live.flatMap { case (qid, ts) =>
+      val present = ts.filter(t => dict.contains(t) && tfn.contains(t))
+      if (present.size < 2) None
+      else {
+        val s = present.maxBy(ub)
+        if (dict(s) <= OrSeedDfCap && dict(s) >= k) Some(qid -> s) else None
+      }
+    }
+    if (seeds.isEmpty) return blocks
+    val kth = singleTermKthScore(spark, handle, seeds.values.toSeq.distinct, k)
+    // per-term surviving ranges: None = full range (essential somewhere
+    // or belonging to an unpruned query), Some(ivs) = the union of its
+    // queries' essential intervals
+    val full = scala.collection.mutable.HashSet.empty[String]
+    val ranged = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+    live.foreach { case (qid, ts) =>
+      val present = ts.filter(t => dict.contains(t) && tfn.contains(t)).distinct
+      val thetaLb = seeds.get(qid).flatMap(kth.get)
+      thetaLb match {
+        case Some(th) if present.size >= 2 =>
+          val byUbDesc = present.sortBy(t => -ub(t))
+          // maximal non-essential suffix: Σ UB < θ_lb − margin
+          var cum = 0.0
+          var cut = byUbDesc.length // first non-essential index
+          var i = byUbDesc.length - 1
+          var stop = false
+          while (i >= 1 && !stop) { // seed (index 0) is always essential
+            cum += ub(byUbDesc(i))
+            if (cum < th - OrPruneMargin) { cut = i; i -= 1 } else stop = true
+          }
+          val (ess, non) = (byUbDesc.take(cut), byUbDesc.drop(cut))
+          ess.foreach(full.add)
+          if (non.nonEmpty) {
+            val ivs = handle.intervalsFor(ess)
+            val union = Intervals.merge(ivs.values.flatten.toArray)
+            non.foreach { t =>
+              ranged.getOrElseUpdate(t,
+                scala.collection.mutable.ArrayBuffer.empty) ++= union
+            }
+          }
+        case _ => present.foreach(full.add)
+      }
+    }
+    val needRange = ranged.keySet.diff(full)
+    if (needRange.isEmpty) return blocks
+    val ivRows = needRange.toSeq.flatMap { t =>
+      Intervals.merge(ranged(t).toArray).map { case (lo, hi) => (t, lo, hi) }
+    } ++ full.toSeq.map(t => (t, 0L, Long.MaxValue))
+    val ivDf = broadcast(ivRows.toDF("t", "lo", "hi"))
+    blocks.join(ivDf,
+      blocks("term") === ivDf("t") && blocks("doc_id_max") >= ivDf("lo") &&
+        blocks("doc_id_base") <= ivDf("hi"), "left_semi")
+  }
+
+  /** Phase 0 of the OR maxscore prune: exact k-th best single-term score
+    * per seed term, computed distributedly over the seeds' (df-capped)
+    * postings and collected as one tiny row per term. */
+  private def singleTermKthScore(spark: SparkSession, handle: IndexHandle,
+      seedTerms: Seq[String], k: Int): Map[String, Double] = {
+    import spark.implicits._
+    val stats = handle.stats
+    val dfs = handle.dfOf(seedTerms)
+    val topk = new TopKAgg(k)
+    handle.blocksFor(seedTerms)
+      .select(col("term"),
+        graft.functions.DecodePostings.rows(col("num_docs"),
+          col("doc_deltas"), col("tfs"), col("dls"))
+          .as(Seq("doc_id", "tf", "dl")))
+      .as[(String, Long, Int, Int)]
+      .map { case (t, doc, tf, dl) =>
+        val idf = Bm25.idf(stats.n_docs, dfs.getOrElse(t, 1L))
+        (t, doc,
+          Bm25.round6(idf * (Bm25.K1 + 1.0) * Bm25.tfNorm(tf, dl, stats.avgdl)))
+      }
+      .groupByKey(_._1)
+      .mapValues(r => Scored(r._2, r._3))
+      .agg(topk.toColumn.name("topk"))
+      .collect()
+      .flatMap { case (t, hits) =>
+        if (hits.lengthCompare(k) < 0) None else Some(t -> hits.last.score)
+      }.toMap
   }
 
   /** Back-compat aliases for the interval algebra (moved to Intervals). */

@@ -59,6 +59,38 @@ object Compactor {
     Fs.delete(spark, s"$indexDir/dictionary_predelta")
   }
 
+  /** Size-tiered auto-compaction policy — the trigger the reference never
+    * needs (it pays merge cost once at build,
+    * /root/reference/src/gin_interval_merge_tree.c:261-302) but a
+    * long-lived ingest does: without one, `postings/segment=s<batchId>`
+    * dirs grow one per micro-batch until a human remembers to call
+    * `compact`. Fires when EITHER
+    *  - stream segment COUNT reaches `maxStreamSegments` (caps read-side
+    *    merge fan-in and small-file pressure regardless of sizes), or
+    *  - stream segment BYTES reach `minStreamFraction` of the base
+    *    segments' bytes (the size-tiered condition: a full rewrite costs
+    *    O(base + stream), so it only runs once the streamed tier is worth
+    *    that rewrite — amortized O(log) rewrites per ingested byte, the
+    *    standard LSM top-tier policy; at a 100 TB base, thousands of
+    *    small batches accumulate before one compaction pays off).
+    * Returns true if it compacted. Invoked per committed ingest batch
+    * (IncrementalIndexer.ingestBatch autoCompact). */
+  def maybeCompact(spark: SparkSession, indexDir: String,
+                   callerConf: Builder.Config = Builder.Config(),
+                   maxStreamSegments: Int = 64,
+                   minStreamFraction: Double = 0.10): Boolean = {
+    val segs = Fs.list(spark, s"$indexDir/postings")
+      .filter(_.getName.startsWith("segment=s"))
+    if (segs.isEmpty) return false
+    val streamBytes = segs.map(p => Fs.dirBytes(spark, p.toString)).sum
+    val baseBytes =
+      math.max(1L, Fs.dirBytes(spark, s"$indexDir/postings") - streamBytes)
+    val due = segs.size >= maxStreamSegments ||
+      streamBytes >= minStreamFraction * baseBytes
+    if (due) compact(spark, indexDir, callerConf)
+    due
+  }
+
   def compact(spark: SparkSession, indexDir: String,
               callerConf: Builder.Config = Builder.Config()): Unit = {
     Builder.recoverPostings(spark, indexDir) // heal a prior interrupted swap

@@ -38,17 +38,22 @@ object IncrementalIndexer {
   /** Start a streaming ingest into `indexDir`. `corpusStream` must be a
     * streaming DataFrame with (repo, path, commit, lang, content). */
   def start(corpusStream: DataFrame, indexDir: String, conf: Builder.Config,
-            checkpoint: String): StreamingQuery =
+            checkpoint: String, autoCompact: Boolean = true): StreamingQuery =
     corpusStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch.sparkSession, batch, indexDir, conf, batchId)
+        ingestBatch(batch.sparkSession, batch, indexDir, conf, batchId,
+          autoCompact)
       }
       .start()
 
-  /** Ingest one micro-batch (also usable directly for batch deltas). */
+  /** Ingest one micro-batch (also usable directly for batch deltas).
+    * `autoCompact` (default ON, matching the reference's budgets-on
+    * defaults) runs the size-tiered Compactor policy after the batch
+    * commits — see Compactor.maybeCompact for the trigger conditions. */
   def ingestBatch(spark: SparkSession, batch: DataFrame, indexDir: String,
-                  conf: Builder.Config, batchId: Long): Unit = {
+                  conf: Builder.Config, batchId: Long,
+                  autoCompact: Boolean = true): Unit = {
     import spark.implicits._
     val marker = s"$indexDir/_COMMIT_stream_batch_$batchId"
     if (Fs.exists(spark, marker)) {
@@ -205,6 +210,11 @@ object IncrementalIndexer {
     Fs.write(spark, marker, s"""{"docs":$nDocsBatch,"base":$base}""")
     Fs.delete(spark, baseMarker)
     IndexHandle.invalidate(spark, indexDir)
+    // size-tiered auto-compaction AFTER the commit marker: the batch is
+    // durable either way, and compact() itself is crash-safe (swap +
+    // recoverPostings). Runs at most here, never mid-batch, so the fold
+    // refusal on _BASE_b markers cannot fire against our own batch.
+    if (autoCompact) Compactor.maybeCompact(spark, indexDir, conf)
   }
 
 }

@@ -85,6 +85,24 @@ class CliSpec extends SparkTestBase {
       Seq("ord", "repo", "path", "commit"))
   }
 
+  test("cli: order computes a permutation that index --permutation consumes") {
+    val src = tmpDir("cli-order-src")
+    Corpus.write(Synth.localizedCorpus(spark, 80), src)
+    val permDir = tmpDir("cli-order-perm")
+    Cli.run(spark, Array("order", "--input", src, "--out", permDir,
+      "--hashes", "8"))
+    val perm = spark.read.parquet(permDir)
+    assert(perm.columns.sorted.toSeq == Seq("commit", "ord", "path", "repo"))
+    assert(perm.count() == 80)
+    val idx = tmpDir("cli-order-idx") + "/index"
+    Cli.run(spark, Array("index", "--input", src, "--out", idx,
+      "--buckets", "4", "--segments", "1", "--salt-target", "60",
+      "--permutation", permDir))
+    assert(graft.index.Builder.loadConfig(spark, idx).get.orderCols ==
+      Seq("ord", "repo", "path", "commit"))
+    assert(graft.util.Fs.exists(spark, s"$idx/_COMMIT_index"))
+  }
+
   test("cli: deindex, spectrum, clean, and serve verbs") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -114,6 +114,46 @@ class IndexSpec extends SparkTestBase {
     assert(one == oneDrv)
   }
 
+  test("OR maxscore prune: fewer blocks decoded, rankings unchanged") {
+    import spark.implicits._
+    import graft.query.IndexHandle
+    // head+tail mix on a LOCALIZED corpus: a repo-local term's blocks
+    // span only its repo's doc range, so it anchors θ_lb high AND gives
+    // narrow candidate intervals — the common global terms' blocks
+    // outside those intervals must be dropped pre-decode
+    val d = tmpDir("or-maxscore")
+    Builder.build(spark, Synth.localizedCorpus(spark, 600), d,
+      Builder.Config(blockSize = 16, nBuckets = 8, nSegments = 1,
+        saltTarget = 400, verifySegments = false))
+    val handle = IndexHandle.open(spark, d, 8)
+    val dictAll = Builder.dictionary(spark, d)
+      .select("term", "df").as[(String, Long)].collect().toMap
+    val rare = dictAll.filter { case (t, df) =>
+      t.startsWith("loc_") && df >= 5 && df <= 60
+    }.keys.min
+    val common = dictAll.filterNot(_._1.startsWith("loc_")).maxBy(_._2)._1
+    val common2 = (dictAll - common).filterNot(_._1.startsWith("loc_"))
+      .maxBy(_._2)._1
+    val qs = Seq(Query(1, s"$rare $common"), Query(2, s"$rare $common $common2"))
+    val dict = handle.dfOf(qs.flatMap(q => Tokenizer.tokens(q.text)).distinct)
+    val live = qs.map(q =>
+      q.query_id -> Tokenizer.tokens(q.text).distinct.toSeq).toMap
+    val all = handle.blocksFor(live.values.flatten.toSeq.distinct)
+    val pruned = Searcher.pruneBlocksOrMaxscore(spark, handle, all, live,
+      dict, k = 5)
+    val (nAll, nPruned) = (all.count(), pruned.count())
+    assert(nPruned < nAll, s"no blocks pruned: $nPruned of $nAll")
+    // rankings across the paths stay identical under the prune
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val rel = rows(Searcher.searchTopKRelational(spark, d, qs, 5,
+      Searcher.Or, 8))
+    val wand = rows(Searcher.searchTopKWand(spark, d, qs, 5,
+      Searcher.Or, 8))
+    assert(rel == wand && rel.nonEmpty)
+  }
+
   test("head cache: cached single-term results identical to live search") {
     import graft.query.{HeadCache, IndexHandle}
     // build cache over head terms of the shared index

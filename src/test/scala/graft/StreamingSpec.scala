@@ -22,7 +22,10 @@ class StreamingSpec extends SparkTestBase {
     val conf = Builder.Config(blockSize = 16, nBuckets = 8, nSegments = 2,
       saltTarget = 40)
     val ms = MemoryStream[CodeDoc]
-    val q = IncrementalIndexer.start(ms.toDF(), dir, conf, tmpDir("stream-ckpt"))
+    // autoCompact off: this test asserts the per-batch segment layout and
+    // exercises the MANUAL compaction path at the end
+    val q = IncrementalIndexer.start(ms.toDF(), dir, conf, tmpDir("stream-ckpt"),
+      autoCompact = false)
     try {
       ms.addData(b1); q.processAllAvailable()
       ms.addData(b2); q.processAllAvailable()
@@ -59,7 +62,7 @@ class StreamingSpec extends SparkTestBase {
 
     // replaying a committed batch is a no-op (idempotency)
     val before = spark.read.parquet(s"$dir/postings").count()
-    IncrementalIndexer.ingestBatch(spark, b2.toDF(), dir, conf, 1L)
+    IncrementalIndexer.ingestBatch(spark, b2.toDF(), dir, conf, 1L, autoCompact = false)
     assert(spark.read.parquet(s"$dir/postings").count() == before)
 
     // sha integrity holds across appended docmeta
@@ -171,11 +174,11 @@ class StreamingSpec extends SparkTestBase {
     val conf = Builder.Config(blockSize = 16, nBuckets = 8, nSegments = 1,
       saltTarget = 40, storePositions = true, storeTrigrams = true)
     val b0 = (0L until 40L).map(i => Synth.doc(13L, i))
-    IncrementalIndexer.ingestBatch(spark, b0.toDF(), dir, conf, 0L) // bootstrap
+    IncrementalIndexer.ingestBatch(spark, b0.toDF(), dir, conf, 0L, autoCompact = false) // bootstrap
     // post-bootstrap doc with a unique phrase + unique raw substring
     val late = graft.index.CodeDoc("zrepo", "zz_late.txt", "c1", "x",
       "prefix tokens qqalpha qqbravo qqcharlie and rawXYZneedle99 tail")
-    IncrementalIndexer.ingestBatch(spark, Seq(late).toDF(), dir, conf, 1L)
+    IncrementalIndexer.ingestBatch(spark, Seq(late).toDF(), dir, conf, 1L, autoCompact = false)
 
     val ph = graft.query.Phrase.searchTopK(spark, dir,
       Seq(Searcher.Query(1, "qqalpha qqbravo qqcharlie")), 10)
@@ -195,7 +198,7 @@ class StreamingSpec extends SparkTestBase {
     // retry idempotency also holds for the positions/trigrams appends
     graft.util.Fs.delete(spark, s"$dir/_COMMIT_stream_batch_1")
     graft.util.Fs.write(spark, s"$dir/_BASE_b1", "40")
-    IncrementalIndexer.ingestBatch(spark, Seq(late).toDF(), dir, conf, 1L)
+    IncrementalIndexer.ingestBatch(spark, Seq(late).toDF(), dir, conf, 1L, autoCompact = false)
     assert(spark.read.parquet(s"$dir/positions")
       .filter(col("doc_id") === maxId).count() ==
       graft.index.Tokenizer.tokens(late.content).distinct.length)
@@ -208,8 +211,8 @@ class StreamingSpec extends SparkTestBase {
     val conf = Builder.Config(blockSize = 16, nBuckets = 4, nSegments = 2,
       saltTarget = 40)
     val docs = (0L until 80L).map(i => Synth.doc(31L, i))
-    IncrementalIndexer.ingestBatch(spark, docs.take(50).toDF(), dir, conf, 0L)
-    IncrementalIndexer.ingestBatch(spark, docs.drop(50).toDF(), dir, conf, 1L)
+    IncrementalIndexer.ingestBatch(spark, docs.take(50).toDF(), dir, conf, 0L, autoCompact = false)
+    IncrementalIndexer.ingestBatch(spark, docs.drop(50).toDF(), dir, conf, 1L, autoCompact = false)
     val qs = Seq(Searcher.Query(1, "id_0"), Searcher.Query(2, "id_0 id_1"))
     def hits() = Searcher.searchTopK(spark, dir, qs, 10)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
@@ -238,8 +241,8 @@ class StreamingSpec extends SparkTestBase {
       saltTarget = 40)
     val b0 = (0L until 50L).map(i => Synth.doc(9L, i))
     val b1 = (50L until 90L).map(i => Synth.doc(9L, i))
-    IncrementalIndexer.ingestBatch(spark, b0.toDF(), dir, conf, 0L) // bootstrap
-    IncrementalIndexer.ingestBatch(spark, b1.toDF(), dir, conf, 1L)
+    IncrementalIndexer.ingestBatch(spark, b0.toDF(), dir, conf, 0L, autoCompact = false) // bootstrap
+    IncrementalIndexer.ingestBatch(spark, b1.toDF(), dir, conf, 1L, autoCompact = false)
     // rewind to a REACHABLE crash state: raw/docmeta appends + stats done,
     // the dict delta promote NOT done, no commit marker (= crash between
     // the postings segment write and the dict_deltas promote)
@@ -248,12 +251,12 @@ class StreamingSpec extends SparkTestBase {
     graft.util.Fs.write(spark, s"$dir/_BASE_b1", "50") // pinned on attempt 1
     // retry the whole batch — staged batch-prefixed promotes + the pinned
     // id base must make this converge, not double-append or shift ids
-    IncrementalIndexer.ingestBatch(spark, b1.toDF(), dir, conf, 1L)
+    IncrementalIndexer.ingestBatch(spark, b1.toDF(), dir, conf, 1L, autoCompact = false)
     // and a SECOND full retry (everything already promoted) is a no-op
     // that still converges
     graft.util.Fs.delete(spark, s"$dir/_COMMIT_stream_batch_1")
     graft.util.Fs.write(spark, s"$dir/_BASE_b1", "50")
-    IncrementalIndexer.ingestBatch(spark, b1.toDF(), dir, conf, 1L)
+    IncrementalIndexer.ingestBatch(spark, b1.toDF(), dir, conf, 1L, autoCompact = false)
     val fullDir = tmpDir("stream-retry-full")
     Builder.build(spark, (b0 ++ b1).toDF(), fullDir, conf)
     assert(spark.read.parquet(s"$dir/docmeta").count() == 90)
@@ -283,7 +286,7 @@ class StreamingSpec extends SparkTestBase {
     val before = baseFiles()
     val novel = graft.index.CodeDoc("zr", "znew.txt", "c1", "x",
       "zz_brand_new_term alpha")
-    IncrementalIndexer.ingestBatch(spark, Seq(novel).toDF(), dir, conf, 1L)
+    IncrementalIndexer.ingestBatch(spark, Seq(novel).toDF(), dir, conf, 1L, autoCompact = false)
     // the per-batch refresh wrote ONLY a delta segment — base unchanged,
     // independent of vocabulary size
     assert(baseFiles() == before)
@@ -310,6 +313,40 @@ class StreamingSpec extends SparkTestBase {
     assert(!graft.util.Fs.exists(spark, s"$dir/dictionary_predelta"))
   }
 
+  test("auto-compaction keeps a long ingest's segment count bounded, queries exact") {
+    import spark.implicits._
+    val dir = tmpDir("stream-autocompact")
+    val conf = Builder.Config(blockSize = 16, nBuckets = 4, nSegments = 2,
+      saltTarget = 40)
+    // bootstrap 100 docs, then 10 micro-batches of 4 docs under the
+    // DEFAULT policy (autoCompact on): the size-tiered trigger
+    // (stream bytes >= 10% of base) must fire at least once across the
+    // run — no manual compact call anywhere
+    val all = (0L until 140L).map(i => Synth.doc(21L, i))
+    IncrementalIndexer.ingestBatch(spark, all.take(100).toDF(), dir, conf, 0L)
+    (0 until 10).foreach { b =>
+      IncrementalIndexer.ingestBatch(spark,
+        all.slice(100 + b * 4, 100 + b * 4 + 4).toDF(), dir, conf, b + 1L)
+    }
+    val segs = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    val streamSegs = segs.count(_.startsWith("segment=s"))
+    // without the policy this would be 10; the tier trigger keeps it low
+    assert(streamSegs < 5, s"stream segments unbounded: ${segs.mkString(",")}")
+    // compacted-under-ingest index answers exactly like a batch rebuild
+    val fullDir = tmpDir("stream-autocompact-full")
+    Builder.build(spark, all.toDF(), fullDir, conf)
+    val doc = Synth.doc(21L, 120L).content
+    val t = graft.index.Tokenizer.tokens(doc)
+    val qs = Seq(Searcher.Query(1, t(0)), Searcher.Query(2, s"${t(1)} ${t(3)}"))
+    def resolved(ix: String) =
+      Searcher.resolve(spark, ix, Searcher.searchTopK(spark, ix, qs, 10))
+        .select("query_id", "rank", "score", "repo", "path")
+        .orderBy("query_id", "rank").collect().toSeq
+    assert(resolved(dir) == resolved(fullDir))
+    assert(resolved(dir).nonEmpty)
+  }
+
   test("foldDictionary refuses while a batch is unfinished; retry unblocks it") {
     import spark.implicits._
     val dir = tmpDir("stream-fold-guard")
@@ -319,7 +356,7 @@ class StreamingSpec extends SparkTestBase {
       (0L until 20L).map(i => Synth.doc(8L, i)).toDF(), dir, conf, 0L)
     val doc = graft.index.CodeDoc("zr", "zfold.txt", "c1", "x",
       "zz_fold_guard_term beta")
-    IncrementalIndexer.ingestBatch(spark, Seq(doc).toDF(), dir, conf, 1L)
+    IncrementalIndexer.ingestBatch(spark, Seq(doc).toDF(), dir, conf, 1L, autoCompact = false)
     assert(graft.util.Fs.exists(spark, s"$dir/dict_deltas"))
     // simulate a crash mid-batch-2: delta promoted, commit marker absent
     graft.util.Fs.write(spark, s"$dir/_BASE_b2", "21")
@@ -331,7 +368,7 @@ class StreamingSpec extends SparkTestBase {
     // retry path A: the batch turns out to be committed (marker written,
     // _BASE left behind by a crash) -> the early-return cleans _BASE up
     graft.util.Fs.write(spark, s"$dir/_COMMIT_stream_batch_2", "{}")
-    IncrementalIndexer.ingestBatch(spark, Seq(doc).toDF(), dir, conf, 2L)
+    IncrementalIndexer.ingestBatch(spark, Seq(doc).toDF(), dir, conf, 2L, autoCompact = false)
     assert(!graft.util.Fs.exists(spark, s"$dir/_BASE_b2"))
     // now the fold proceeds and the merged dictionary stays correct
     graft.streaming.Compactor.foldDictionary(spark, dir, 4, 8)
