@@ -255,16 +255,58 @@ object Searcher {
     val liveTerms = liveQs.values.flatten.toSeq.distinct.filter(dict.contains)
     // per-query stripe plan from the (already-probed) dictionary dfs:
     // driver-side arithmetic only, no extra jobs
-    val qt = liveQs.toSeq.flatMap { case (qid, ts) =>
-      val present = ts.filter(dict.contains)
-      val dfSumQ = present.map(dict).sum
-      val nS = math.max(1L, math.min(MaxStripesPerQuery.toLong,
-        (dfSumQ + stripePostings - 1) / math.max(1L, stripePostings)))
-      val w = math.max(1L, (stats.n_docs + nS - 1) / nS)
-      present.map(t => (qid, t, Bm25.idf(stats.n_docs, dict(t)), nS, w))
-    }.toDF("query_id", "term", "idf", "n_stripes", "stripe_w")
+    val plan: Seq[(Long, Seq[String], Long, Long)] = liveQs.toSeq.map {
+      case (qid, ts) =>
+        val present = ts.filter(dict.contains)
+        val dfSumQ = present.map(dict).sum
+        val nS = math.max(1L, math.min(MaxStripesPerQuery.toLong,
+          (dfSumQ + stripePostings - 1) / math.max(1L, stripePostings)))
+        val w = math.max(1L, (stats.n_docs + nS - 1) / nS)
+        (qid, present, nS, w)
+    }
     val avgdl = stats.avgdl
     val wandMode = if (mode == And) Wand.And else Wand.Or
+    // common case: nothing stripes (every Σ df fits one group) — one
+    // flatMapGroups per query emits final ranks directly, no merge
+    // shuffle (bench leg wand_exec measures this path)
+    if (plan.forall(_._3 == 1L)) {
+      val qt1 = plan.flatMap { case (qid, present, _, _) =>
+        present.map(t => (qid, t, Bm25.idf(stats.n_docs, dict(t))))
+      }.toDF("query_id", "term", "idf")
+      return handle.blocksFor(liveTerms)
+        .join(broadcast(qt1), "term")
+        .select(col("query_id"), col("term"), col("idf"), col("block_id"),
+          col("doc_id_base"), col("doc_id_max"), col("num_docs"),
+          col("max_tf"), col("min_dl"), col("doc_deltas"), col("tfs"),
+          col("dls"))
+        .as[(Long, String, Double, Int, Long, Long, Int, Int, Int,
+          Array[Byte], Array[Byte], Array[Byte])]
+        .groupByKey(_._1)
+        .flatMapGroups { (qid: Long, it: Iterator[(Long, String, Double,
+            Int, Long, Long, Int, Int, Int, Array[Byte], Array[Byte],
+            Array[Byte])]) =>
+          val byTerm = scala.collection.mutable.LinkedHashMap
+            .empty[String, (Double, scala.collection.mutable.ArrayBuffer[PostingBlock])]
+          it.foreach { r =>
+            val (_, term, idf, bid, base, max, nd, mtf, mdl, dd, tfs, dls) = r
+            byTerm.getOrElseUpdate(term,
+              (idf, scala.collection.mutable.ArrayBuffer.empty[PostingBlock]))
+              ._2 += PostingBlock(term, bid, base, max, nd, mtf, mdl, dd, tfs, dls)
+          }
+          val tbs = byTerm.iterator.map { case (t, (idf, bs)) =>
+            Wand.TermBlocks(t, idf, bs.sortBy(_.doc_id_base).toArray)
+          }.toSeq
+          val (hits, _) = Wand.topK(tbs, k, avgdl, wandMode)
+          hits.iterator.zipWithIndex.map { case (s, i) =>
+            (qid, i + 1, s.doc_id, s.score)
+          }
+        }
+        .toDF("query_id", "rank", "doc_id", "score")
+        .unionByName(cachedDf)
+    }
+    val qt = plan.flatMap { case (qid, present, nS, w) =>
+      present.map(t => (qid, t, Bm25.idf(stats.n_docs, dict(t)), nS, w))
+    }.toDF("query_id", "term", "idf", "n_stripes", "stripe_w")
     val perStripe = handle.blocksFor(liveTerms)
       .join(broadcast(qt), "term")
       // a block [base, max] feeds every stripe it overlaps; ids past the
