@@ -305,8 +305,10 @@ object Searcher {
         .unionByName(cachedDf)
     }
     val qt = plan.flatMap { case (qid, present, nS, w) =>
-      present.map(t => (qid, t, Bm25.idf(stats.n_docs, dict(t)), nS, w))
-    }.toDF("query_id", "term", "idf", "n_stripes", "stripe_w")
+      present.map(t =>
+        (qid, t, Bm25.idf(stats.n_docs, dict(t)), nS, w, present.size))
+    }.toDF("query_id", "term", "idf", "n_stripes", "stripe_w", "n_terms")
+    val andMode = mode == And
     val perStripe = handle.blocksFor(liveTerms)
       .join(broadcast(qt), "term")
       // a block [base, max] feeds every stripe it overlaps; ids past the
@@ -316,35 +318,42 @@ object Searcher {
         expr("least(doc_id_base div stripe_w, n_stripes - 1)"),
         expr("least(doc_id_max div stripe_w, n_stripes - 1)"))))
       .select(col("query_id"), col("stripe"), col("n_stripes"),
-        col("stripe_w"), col("term"), col("idf"), col("block_id"),
-        col("doc_id_base"), col("doc_id_max"), col("num_docs"),
-        col("max_tf"), col("min_dl"), col("doc_deltas"), col("tfs"),
-        col("dls"))
-      .as[(Long, Long, Long, Long, String, Double, Int, Long, Long, Int,
-        Int, Int, Array[Byte], Array[Byte], Array[Byte])]
+        col("stripe_w"), col("n_terms"), col("term"), col("idf"),
+        col("block_id"), col("doc_id_base"), col("doc_id_max"),
+        col("num_docs"), col("max_tf"), col("min_dl"), col("doc_deltas"),
+        col("tfs"), col("dls"))
+      .as[(Long, Long, Long, Long, Int, String, Double, Int, Long, Long,
+        Int, Int, Int, Array[Byte], Array[Byte], Array[Byte])]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Long,
-          Long, String, Double, Int, Long, Long, Int, Int, Int,
+          Long, Int, String, Double, Int, Long, Long, Int, Int, Int,
           Array[Byte], Array[Byte], Array[Byte])]) =>
         val (qid, stripe) = key
         val byTerm = scala.collection.mutable.LinkedHashMap
           .empty[String, (Double, scala.collection.mutable.ArrayBuffer[PostingBlock])]
-        var nS = 1L; var w = Long.MaxValue
+        var nS = 1L; var w = Long.MaxValue; var nTerms = 0
         it.foreach { r =>
-          val (_, _, rNS, rW, term, idf, bid, base, max, nd, mtf, mdl,
+          val (_, _, rNS, rW, rNT, term, idf, bid, base, max, nd, mtf, mdl,
             dd, tfs, dls) = r
-          nS = rNS; w = rW
+          nS = rNS; w = rW; nTerms = rNT
           byTerm.getOrElseUpdate(term,
             (idf, scala.collection.mutable.ArrayBuffer.empty[PostingBlock]))
             ._2 += PostingBlock(term, bid, base, max, nd, mtf, mdl, dd, tfs, dls)
         }
-        val tbs = byTerm.iterator.map { case (t, (idf, bs)) =>
-          Wand.TermBlocks(t, idf, bs.sortBy(_.doc_id_base).toArray)
-        }.toSeq
-        val minDoc = stripe * w
-        val maxDoc = if (stripe >= nS - 1) Long.MaxValue else stripe * w + w - 1
-        val (hits, _) = Wand.topK(tbs, k, avgdl, wandMode, minDoc, maxDoc)
-        hits.iterator.map(s => (qid, s.doc_id, s.score))
+        // a conjunctive stripe missing ANY query term has no match in its
+        // doc range (the absent term has no posting there) — running the
+        // AND loop over the present subset would fabricate matches
+        if (andMode && byTerm.size < nTerms) Iterator.empty
+        else {
+          val tbs = byTerm.iterator.map { case (t, (idf, bs)) =>
+            Wand.TermBlocks(t, idf, bs.sortBy(_.doc_id_base).toArray)
+          }.toSeq
+          val minDoc = stripe * w
+          val maxDoc = if (stripe >= nS - 1) Long.MaxValue
+            else stripe * w + w - 1
+          val (hits, _) = Wand.topK(tbs, k, avgdl, wandMode, minDoc, maxDoc)
+          hits.iterator.map(s => (qid, s.doc_id, s.score))
+        }
       }
     // merge per-stripe exact top-ks (<= k rows per stripe cross this
     // shuffle) into the global exact top-k per query

@@ -114,6 +114,38 @@ class IndexSpec extends SparkTestBase {
     assert(one == oneDrv)
   }
 
+  test("striped AND: stripes missing one term fabricate no matches") {
+    import spark.implicits._
+    // a repo-LOCAL term's blocks cover one narrow doc range while the
+    // common global term covers every stripe: conjunctive stripes where
+    // the local term has no block must emit NOTHING (running the AND
+    // loop over the present subset would fabricate common-only matches,
+    // and with k above the true conjunctive count they would surface)
+    val d = tmpDir("stripe-and-gap")
+    Builder.build(spark, Synth.localizedCorpus(spark, 600), d,
+      Builder.Config(blockSize = 16, nBuckets = 8, nSegments = 1,
+        saltTarget = 400, verifySegments = false))
+    val dictAll = Builder.dictionary(spark, d)
+      .select("term", "df").as[(String, Long)].collect().toMap
+    // smallest-df local term, and k ABOVE its df: the true conjunctive
+    // match count is <= df(rare), so any fabricated common-only match
+    // would have to surface in the top-k
+    val (rare, rareDf) = dictAll.filter { case (t, df) =>
+      t.startsWith("loc_") && df >= 2
+    }.minBy { case (t, df) => (df, t) }
+    val common = dictAll.filterNot(_._1.startsWith("loc_")).maxBy(_._2)._1
+    assert(rareDf < 20, s"fixture needs a sparse local term, got df=$rareDf")
+    val qs = Seq(Query(1, s"$rare $common"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Long, Double)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    val driver = rows(Searcher.searchTopKWand(spark, d, qs, 20,
+      Searcher.And, nBuckets = 8))
+    val striped = rows(Searcher.searchTopKWandExecutors(spark, d, qs, 20,
+      Searcher.And, nBuckets = 8, stripePostings = 32L))
+    assert(striped == driver)
+  }
+
   test("OR maxscore prune: fewer blocks decoded, rankings unchanged") {
     import spark.implicits._
     import graft.query.IndexHandle
