@@ -190,23 +190,110 @@ object Ann {
     math.min(65536,
       math.max(16, math.ceil(math.sqrt(math.max(0L, n).toDouble)).toInt))
 
+  /** Norm every refined centroid is scaled to: the quantized-unit-vector
+    * norm (components are floor(v·1e6), so a unit float vector quantizes
+    * to integer norm ≈ 1e6). Equal-norm centroids make the max-DOT
+    * assignment rule identical to max-COSINE assignment — the spherical
+    * k-means invariant that gives Lloyd refinement its monotone
+    * objective on this quantizer. */
+  private val CentroidNorm = 1e6
+
+  /** Spherical-Lloyd refinement of an IVF coarse quantizer — the trained
+    * replacement for the seed (smallest-vec_id) centroid set, same plan
+    * shape per iteration as one IVF assignment pass: broadcast centroids,
+    * one map over the corpus (exact integer dots, ties → lowest cid), one
+    * partially-aggregated reduceGroups summing member components in
+    * EXACT integer arithmetic (longs: commutative/associative, so
+    * partition order cannot perturb the result — no float-sum
+    * nondeterminism), then a driver-side renormalize of nc tiny vectors
+    * to `CentroidNorm`. Deterministic end-to-end; empty cells keep their
+    * previous centroid. Iteration state on the driver is nc·dims longs
+    * (≤ 65536·dims — megabytes, never corpus-sized). */
+  def refineCentroids(corpus: DataFrame, seeds: Array[(Long, Array[Long])],
+                      iters: Int, dims: Int): Array[(Long, Array[Long])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents = seeds
+    val vecs = corpus.select(col("vec_id").cast("long"),
+      quantized(col("embedding"))).as[(Long, Seq[Long])]
+    var it = 0
+    while (it < iters) {
+      val centB = spark.sparkContext.broadcast(cents)
+      val sums: Array[(Long, Array[Long])] = vecs
+        .map { case (_, emb) =>
+          val cs = centB.value
+          val n = math.min(dims, emb.length)
+          var best = 0; var bestDot = Long.MinValue
+          var c = 0
+          while (c < cs.length) {
+            val ce = cs(c)._2
+            var s = 0L; var i = 0
+            val m = math.min(n, ce.length)
+            while (i < m) { s += emb(i) * ce(i); i += 1 }
+            if (s > bestDot || (s == bestDot && cs(c)._1 < cs(best)._1)) {
+              best = c; bestDot = s
+            }
+            c += 1
+          }
+          val e = new Array[Long](dims)
+          var i = 0
+          while (i < n) { e(i) = emb(i); i += 1 }
+          (cs(best)._1, e)
+        }
+        .groupByKey(_._1)
+        .reduceGroups { (a: (Long, Array[Long]), b: (Long, Array[Long])) =>
+          val s = new Array[Long](dims)
+          var i = 0
+          while (i < dims) { s(i) = a._2(i) + b._2(i); i += 1 }
+          (a._1, s)
+        }
+        .map { case (cid, (_, s)) => (cid, s.toSeq) }
+        .collect()
+        .map { case (cid, s) => (cid, s.toArray) }
+      centB.destroy()
+      val byId = sums.toMap
+      cents = cents.map { case (cid, old) =>
+        byId.get(cid) match {
+          case Some(s) =>
+            var nsq = 0.0
+            var i = 0
+            while (i < dims) { nsq += s(i).toDouble * s(i).toDouble; i += 1 }
+            if (nsq == 0.0) (cid, old) // degenerate zero-sum cell
+            else {
+              val scale = CentroidNorm / math.sqrt(nsq)
+              (cid, s.map(v => math.floor(v * scale).toLong))
+            }
+          case None => (cid, old) // empty cell keeps its centroid
+        }
+      }
+      it += 1
+    }
+    cents
+  }
+
   /** IVF candidate stage, exposed for tests: (query_id, neighbor_id)
     * pairs from the probed cells only. `nCentroids = 0` derives ≈ √n
-    * centroids from the corpus size (autoCentroids). */
+    * centroids from the corpus size (autoCentroids); `kmeansIters > 0`
+    * refines the seed quantizer by spherical Lloyd (refineCentroids) —
+    * the default stays 0 so the cross-engine gate oracle keeps its exact
+    * SQL mirror. */
   def ivfCandidates(queries: DataFrame, corpus: DataFrame,
-                    nCentroids: Int, nProbe: Int, dims: Int): DataFrame = {
+                    nCentroids: Int, nProbe: Int, dims: Int,
+                    kmeansIters: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val nc = if (nCentroids > 0) nCentroids else autoCentroids(corpus.count())
     // the nc SMALLEST vec_ids (sort+limit -> TakeOrdered, no
     // dense-0-based id assumption: an offset or filtered id space must
     // not silently yield an empty/undersized centroid set)
-    val cents: Array[(Long, Array[Long])] = corpus
+    val seeds: Array[(Long, Array[Long])] = corpus
       .select(col("vec_id").cast("long"), quantized(col("embedding")))
       .orderBy(col("vec_id")).limit(nc)
       .as[(Long, Seq[Long])].collect()
       .map { case (id, e) => (id, e.toArray) }
       .sortBy(_._1)
+    val cents = if (kmeansIters > 0)
+      refineCentroids(corpus, seeds, kmeansIters, dims) else seeds
     val centB = spark.sparkContext.broadcast(cents)
     // best `take` cells per vector by exact integer dot (desc, id asc)
     def cellsOf(vecs: DataFrame, take: Int): DataFrame = vecs
@@ -243,10 +330,11 @@ object Ann {
     * complementing hyperplane LSH: the corpus is coarse-quantized into
     * `nCentroids` cells (0 = autoCentroids ≈ √n) and each query probes
     * only its `nProbe` best cells, so per-query candidate volume is
-    * ~nProbe·n/nCentroids instead of n. The centroid set is the vectors
-    * with the smallest vec_ids (a deterministic seed choice — the
-    * k-means-free IVF variant; a trained quantizer can replace it
-    * without changing the plan shape). Cell assignment compares EXACT
+    * ~nProbe·n/nCentroids instead of n. The centroid set seeds from the
+    * vectors with the smallest vec_ids (deterministic); `kmeansIters > 0`
+    * trains the quantizer in place by spherical Lloyd (refineCentroids —
+    * same plan shape per iteration, still deterministic: exact integer
+    * member sums, fixed-norm renormalize). Cell assignment compares EXACT
     * integer dot products over floor(v·1e6)-quantized components (ties
     * → lowest centroid id), so the partition is bit-identical in Spark
     * and the DuckDB oracle; the final ranking is exact cosine over the
@@ -258,8 +346,9 @@ object Ann {
     * itself. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCentroids: Int = 0, nProbe: Int = 4,
-              dims: Int = 64): DataFrame = {
-    val cand = ivfCandidates(queries, corpus, nCentroids, nProbe, dims)
+              dims: Int = 64, kmeansIters: Int = 0): DataFrame = {
+    val cand = ivfCandidates(queries, corpus, nCentroids, nProbe, dims,
+      kmeansIters)
     val scored = cand
       .join(broadcast(queries.select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"))), "query_id")
