@@ -242,6 +242,14 @@ object Gate {
   private val DocOrderRankSql: String =
     (0 until DocOrderNHashes).map(i => s"s$i").mkString(", ")
 
+  /** df-cap threshold mirroring DocOrder.signatures exactly:
+    * max(MinDfCap, ceil(DefaultMaxDfFraction · n_docs)), with n_docs the
+    * FULL corpus row count — generated from the same shared constants. */
+  private val DocOrderDfCapSql: String =
+    s"GREATEST(${graft.index.DocOrder.MinDfCap}, CAST(ceil(" +
+      s"${graft.index.DocOrder.DefaultMaxDfFraction} * " +
+      "(SELECT count(*) FROM ids)) AS BIGINT))"
+
   // ---- shared SQL prelude (DuckDB): identical corpus mapping,
   //      docID assignment, tokenizer, postings, dict, stats -------------
   private val Prelude = s"""
@@ -332,8 +340,21 @@ object Gate {
   /** Ordering producer (the `gin permutation` analog): the minhash-
     * clustering doc order, hash-checked against a DuckDB re-derivation
     * of the same signature sort (CrossHash keeps the minhash arithmetic
-    * exactly reproducible in SQL). */
+    * exactly reproducible in SQL). maxDfFraction = 1.0 keeps the gate
+    * covering the FULL 500-doc permutation — the sf corpus's vocabulary
+    * is tiny (~31 terms), so the df-capped DEFAULT drops most docs here;
+    * the filtered path gets its own gate (q_docorder_dfcap) below. */
   def qDocOrder(s: SparkSession, dir: String): DataFrame =
+    graft.index.DocOrder.minhashPermutation(Corpus.fromDocuments(s, dir),
+        nHashes = DocOrderNHashes, maxDfFraction = 1.0)
+      .select(col("repo"), col("path"), col("commit"),
+        col("ord").cast("long"))
+
+  /** The df-capped DEFAULT path of the ordering producer: docs whose
+    * every term exceeds the cap drop out of the permutation (sorted
+    * last in identity order by withPermutation) — the oracle mirrors
+    * the cap, the survivor set, and the sort. */
+  def qDocOrderDfcap(s: SparkSession, dir: String): DataFrame =
     graft.index.DocOrder.minhashPermutation(Corpus.fromDocuments(s, dir),
         nHashes = DocOrderNHashes)
       .select(col("repo"), col("path"), col("commit"),
@@ -575,6 +596,29 @@ object Gate {
         SELECT repo, path, commit_id,
                ${graft.util.CrossHash.h60Sql("term")} % 2147483647 AS x31
         FROM dtoks),
+      sig AS (
+        SELECT repo, path, commit_id, $DocOrderSigSql
+        FROM xs GROUP BY 1, 2, 3)
+      SELECT repo, path, commit_id AS "commit",
+             row_number() OVER (ORDER BY $DocOrderRankSql,
+               repo, path, commit_id) - 1 AS ord
+      FROM sig""",
+
+    "q_docorder_dfcap" -> s"""$Prelude,
+      dtoks AS (
+        SELECT DISTINCT i.repo, i.path, i.commit_id, t.term
+        FROM toks t JOIN ids i USING (doc_id)),
+      -- df cap: Zipf-head terms carry no locality signal (mirrors
+      -- DocOrder.signatures: df counted over distinct (doc, term))
+      hot AS (
+        SELECT term FROM dtoks GROUP BY term
+        HAVING count(*) > $DocOrderDfCapSql),
+      kept AS (
+        SELECT d.* FROM dtoks d ANTI JOIN hot h USING (term)),
+      xs AS (
+        SELECT repo, path, commit_id,
+               ${graft.util.CrossHash.h60Sql("term")} % 2147483647 AS x31
+        FROM kept),
       sig AS (
         SELECT repo, path, commit_id, $DocOrderSigSql
         FROM xs GROUP BY 1, 2, 3)
@@ -1077,6 +1121,7 @@ object Gate {
     "q_topk_resolved" -> (qTopkResolved _),
     "q_topk_or" -> (qTopkOr _),
     "q_docorder" -> (qDocOrder _),
+    "q_docorder_dfcap" -> (qDocOrderDfcap _),
     "q_phrase" -> (qPhrase _),
     "q_match_count" -> (qMatchCount _),
     "q_boolean_and" -> (qBooleanAnd _),

@@ -32,6 +32,15 @@ import graft.util.CrossHash
   */
 object DocOrder {
 
+  /** Default df-cap fraction for signature terms (see minhashPermutation)
+    * — shared with the q_docorder oracle SQL so the engines cannot
+    * drift. */
+  val DefaultMaxDfFraction = 0.02
+
+  /** Absolute floor on the df cap: never exclude terms under this df,
+    * regardless of corpus size — shared with the oracle SQL. */
+  val MinDfCap = 64L
+
   /** Per-doc MinHash signature columns s0..s{n-1} over the doc's DISTINCT
     * token set (1-gram shingles: posting locality is about shared TERMS).
     * Pure codegen'd column arithmetic — base hash h60 mod P31, affine
@@ -53,23 +62,63 @@ object DocOrder {
     * uses (no single-partition stage). Deterministic: signatures are pure
     * functions of content, ties break on (repo, path, commit).
     *
-    * Docs with no tokens get no signature row and are simply absent from
-    * the returned table — withPermutation already sorts absent docs last
-    * in identity order. */
+    * `maxDfFraction`: terms appearing in more than max(MinDfCap,
+    * ceil(f·n)) docs are EXCLUDED from the signature. Zipf-head terms
+    * are shared by every doc, so minima over the full token set collide
+    * corpus-wide and carry no locality signal — the signal lives in the
+    * rare (repo-local) vocabulary; measured on the localized corpus the
+    * cap recovers ~2× more of the scrambled→clustered bytes/posting gap
+    * than the unfiltered sort (4.051 vs 4.139, scrambled 4.219, layout
+    * 3.926 — OrderProbe). The hot set is provably broadcast-small:
+    * |{t : df(t) > f·n}| ≤ Σ_doc |distinct(doc)| / (f·n) =
+    * avgDistinctTokens / f (a few thousand rows at any corpus size).
+    * Pass 1.0 to disable. The MinDfCap floor keeps small corpora from
+    * over-excluding (at n=500, a 2% cap alone would drop every term in
+    * >10 docs — most of the useful vocabulary).
+    *
+    * Docs with no tokens (or none surviving the df cap) get no signature
+    * row and are simply absent from the returned table — withPermutation
+    * already sorts absent docs last in identity order. */
   def minhashPermutation(corpus: DataFrame, nHashes: Int = 16,
-                         partitions: Int = 0): DataFrame = {
-    require(nHashes >= 1 && nHashes <= 64, s"nHashes=$nHashes")
-    val spark = corpus.sparkSession
-    val sigs = corpus
-      .select(col("repo"), col("path"), col("commit"),
-        explode(array_distinct(Builder.tokensCol(col("content"))))
-          .as("term"))
-      .withColumn("x31", pmod(CrossHash.h60(col("term")), lit(CrossHash.P31)))
-      .groupBy("repo", "path", "commit")
-      .agg(signatureAggs(nHashes).head, signatureAggs(nHashes).tail: _*)
+                         partitions: Int = 0,
+                         maxDfFraction: Double = DefaultMaxDfFraction): DataFrame = {
+    val sigs = signatures(corpus, nHashes, maxDfFraction)
     val orderCols =
       (0 until nHashes).map(i => col(s"s$i")) ++
         Seq(col("repo"), col("path"), col("commit"))
+    rankBy(corpus.sparkSession, sigs, orderCols, partitions)
+  }
+
+  /** Per-doc df-capped MinHash signature frame
+    * (repo, path, commit, s0..s{n-1}). */
+  private def signatures(corpus: DataFrame, nHashes: Int,
+                         maxDfFraction: Double): DataFrame = {
+    require(nHashes >= 1 && nHashes <= 64, s"nHashes=$nHashes")
+    require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
+      s"maxDfFraction=$maxDfFraction")
+    val toks0 = corpus
+      .select(col("repo"), col("path"), col("commit"),
+        explode(array_distinct(Builder.tokensCol(col("content"))))
+          .as("term"))
+    val toks = if (maxDfFraction >= 1.0) toks0 else {
+      val maxDf = math.max(MinDfCap,
+        math.ceil(maxDfFraction * corpus.count()).toLong)
+      val hot = toks0.groupBy("term")
+        .agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
+        .select("term")
+      toks0.join(broadcast(hot), Seq("term"), "left_anti")
+    }
+    toks
+      .withColumn("x31", pmod(CrossHash.h60(col("term")), lit(CrossHash.P31)))
+      .groupBy("repo", "path", "commit")
+      .agg(signatureAggs(nHashes).head, signatureAggs(nHashes).tail: _*)
+  }
+
+  /** Rank `sigs` rows by `orderCols` into a dense 0-based `ord` with a
+    * range sort + zipWithIndex — no single-partition stage. */
+  private def rankBy(spark: org.apache.spark.sql.SparkSession,
+                     sigs: DataFrame, orderCols: Seq[Column],
+                     partitions: Int): DataFrame = {
     val nPart = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val sorted = sigs
