@@ -75,6 +75,105 @@ object Events {
         round(col("sv").cast("double"), 6).as("sum_value"))
   }
 
+  /** One partition-local session in the two-phase form below: [startUs,
+    * endUs], event count, exact cents sum, and whether it is the FIRST
+    * or LAST session of its user within its partition (only those can
+    * merge across a partition boundary). Not private: Catalyst codegen
+    * must access the accessors. */
+  case class LocalSession(user_id: Long, startUs: Long, endUs: Long,
+                          n: Long, sumCents: Long, boundary: Boolean)
+
+  /** Skew-proof sessionization — identical output to `sessionize`, built
+    * for the user the per-user window form cannot absorb: a Window
+    * partitioned by user_id funnels EVERY event of one user through one
+    * task, so a pathological account (a bot with 10^8 events) serializes
+    * the stage. Here the (user_id, ts) timeline is RANGE-partitioned —
+    * one user spreads over as many partitions as their volume needs —
+    * each partition sessionizes its slice in one ordered pass, and only
+    * the per-(partition, user) FIRST/LAST sessions (≤ 2 rows per user
+    * per partition, data-size-independent) go through a second chain
+    * merge keyed by user. Interior sessions cannot cross a boundary by
+    * construction (range partitioning keeps each user's slice
+    * time-contiguous), so they are emitted directly.
+    *
+    * Exactness: event times in microseconds, sums in exact cents
+    * (decimal(18,2)·100 → long), the same strict-gap rule as
+    * `sessionize` — OpsSpec asserts row-identical output on shared
+    * fixtures including chains spanning every partition. */
+  def sessionizePartitioned(events: DataFrame, gapMinutes: Int,
+                            partitions: Int = 0): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val nPart = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val timeline = events
+      .select(col("user_id").cast("long").as("u"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        coalesce((col("value").cast("decimal(18,2)") * 100).cast("long"),
+          lit(0L)).as("cents"))
+      .repartitionByRange(nPart, col("u"), col("ts_us"))
+      .sortWithinPartitions(col("u"), col("ts_us"))
+      .as[(Long, Long, Long)]
+    val local: Dataset[LocalSession] = timeline.mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[LocalSession]
+      // first session index per user, to mark boundaries after the scan
+      val firstIdx = scala.collection.mutable.HashMap.empty[Long, Int]
+      val lastIdx = scala.collection.mutable.HashMap.empty[Long, Int]
+      var curU = Long.MinValue
+      var open = false
+      var s0 = 0L; var s1 = 0L; var n = 0L; var cents = 0L
+      def close(): Unit = if (open) {
+        val idx = out.length
+        out += LocalSession(curU, s0, s1, n, cents, boundary = false)
+        if (!firstIdx.contains(curU)) firstIdx(curU) = idx
+        lastIdx(curU) = idx
+        open = false
+      }
+      it.foreach { case (u, tUs, c) =>
+        if (u != curU) { close(); curU = u }
+        else if (open && tUs - s1 > gapUs) close()
+        if (!open) { open = true; s0 = tUs; s1 = tUs; n = 1L; cents = c }
+        else { s1 = tUs; n += 1L; cents += c }
+      }
+      close()
+      firstIdx.valuesIterator.foreach { i =>
+        out(i) = out(i).copy(boundary = true)
+      }
+      lastIdx.valuesIterator.foreach { i =>
+        out(i) = out(i).copy(boundary = true)
+      }
+      out.iterator
+    }
+    val interior = local.filter(!_.boundary)
+    // chain merge of boundary sessions: per user ≤ 2 rows per partition,
+    // sorted by start (slices are time-disjoint across partitions), so
+    // one linear fold reconstructs every cross-boundary session
+    val mergedBoundary = local.filter(_.boundary)
+      .groupByKey(_.user_id)
+      .flatMapGroups { (u: Long, it: Iterator[LocalSession]) =>
+        val ss = it.toArray.sortBy(s => (s.startUs, s.endUs))
+        val out = scala.collection.mutable.ArrayBuffer.empty[LocalSession]
+        var cur = ss(0)
+        var i = 1
+        while (i < ss.length) {
+          val nx = ss(i)
+          if (nx.startUs - cur.endUs <= gapUs)
+            cur = LocalSession(u, cur.startUs, math.max(cur.endUs, nx.endUs),
+              cur.n + nx.n, cur.sumCents + nx.sumCents, boundary = true)
+          else { out += cur; cur = nx }
+          i += 1
+        }
+        out += cur
+        out.iterator
+      }
+    interior.unionByName(mergedBoundary)
+      .select(col("user_id"),
+        (col("startUs") / 1000000L).cast("long").as("session_start"),
+        col("n").as("n_events"),
+        round((col("sumCents") / 100.0).cast("double"), 6).as("sum_value"))
+  }
+
   // not private: Catalyst codegen must be able to access the accessors
   case class SessState(startUs: Long, lastUs: Long, n: Long, sumCents: Long)
 

@@ -95,4 +95,52 @@ class SkewSpec extends SparkTestBase {
       .collect()
     assert(hits.length == 1)
   }
+
+  test("sessionizePartitioned == sessionize, one mega-user spread over partitions") {
+    import spark.implicits._
+    import graft.ops.Events
+    // ONE user, 4000 events: the per-user-window form funnels all of
+    // them through a single task; the partitioned form must range-split
+    // the timeline AND still reconstruct sessions that chain across
+    // every partition boundary. Gap rule: > 10 min breaks. Event k is
+    // 5 min after k-1, except every 100th event jumps 30 min (39
+    // sessions of 100 events + the final one).
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val rows = (0 until 4000).scanLeft(0L) { (t, k) =>
+      t + (if (k % 100 == 0 && k > 0) 30L else 5L) * 60L * 1000000L
+    }.tail.zipWithIndex.map { case (us, k) =>
+      (k.toLong, ts(us), 7L, "e", BigDecimal(k % 13) + BigDecimal("0.25"))
+    }
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val a = Events.sessionize(events, 10)
+      .orderBy("user_id", "session_start")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val b = Events.sessionizePartitioned(events, 10, partitions = 8)
+      .orderBy("user_id", "session_start")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(a == b)
+    assert(a.length == 40)
+    // the mega-user's timeline genuinely spread: >= 6 of the 8 range
+    // partitions hold events (vs exactly 1 task in the window form)
+    val spread = events
+      .select(col("user_id").cast("long").as("u"),
+        unix_micros(col("ts").cast("timestamp")).as("t"))
+      .repartitionByRange(8, col("u"), col("t"))
+      .rdd.mapPartitions(it => Iterator(it.nonEmpty)).collect()
+      .count(identity)
+    assert(spread >= 6, s"single user occupied only $spread partitions")
+    // multi-user interleaving: same equality on a mixed fixture
+    val mixed = (0 until 2000).map { k =>
+      val u = k % 5L
+      (k.toLong, ts(k.toLong * 3L * 60L * 1000000L), u, "e",
+        BigDecimal("1.10"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val ma = Events.sessionize(mixed, 10)
+      .orderBy("user_id", "session_start")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val mb = Events.sessionizePartitioned(mixed, 10, partitions = 7)
+      .orderBy("user_id", "session_start")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(ma == mb)
+  }
 }
