@@ -546,6 +546,14 @@ object Gate {
       .select(col("user_id").cast("long"), col("session_start").cast("long"),
         col("n_events").cast("long"), col("sum_value"))
 
+  /** The skew-proof two-phase form must produce the IDENTICAL session
+    * table (same oracle SQL as q_sessionize): range-partitioned
+    * timeline + boundary-session chain merge vs the per-user window. */
+  def qSessionizePart(s: SparkSession, dir: String): DataFrame =
+    ops.Events.sessionizePartitioned(events(s, dir), gapMinutes = 30)
+      .select(col("user_id").cast("long"), col("session_start").cast("long"),
+        col("n_events").cast("long"), col("sum_value"))
+
   def qMultimodal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Multimodal.extractFeatures(Multimodal.asMediaTable(docs(s, dir)))
@@ -1059,6 +1067,30 @@ object Gate {
                AS sum_value
       FROM g GROUP BY user_id, sid""",
 
+    // the two-phase skew-proof form must reproduce q_sessionize exactly
+    "q_sessionize_part" -> """
+      WITH l AS (
+        SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events),
+      f AS (
+        SELECT user_id, ts, value,
+               CASE WHEN prev IS NULL
+                         OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                    THEN 1 ELSE 0 END AS ns
+        FROM l),
+      g AS (
+        SELECT user_id, ts, value,
+               sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f)
+      SELECT user_id,
+             CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS session_start,
+             count(*) AS n_events,
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6)
+               AS sum_value
+      FROM g GROUP BY user_id, sid""",
+
     "q_ann_cosine" -> """
       WITH ex AS (
         SELECT vec_id, unnest(range(len(embedding))) AS pos,
@@ -1149,5 +1181,6 @@ object Gate {
     "q_phrase_offsets" -> (qPhraseOffsets _),
     "q_events_window" -> (qEventsWindow _),
     "q_sessionize" -> (qSessionize _),
+    "q_sessionize_part" -> (qSessionizePart _),
     "q_multimodal" -> (qMultimodal _))
 }
