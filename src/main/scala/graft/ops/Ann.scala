@@ -28,6 +28,50 @@ object Ann {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** cos(a, b) in one typed JVM loop — the hot-path form of `cosine`.
+    * Spark's higher-order array expressions (zip_with / aggregate /
+    * transform) are CodegenFallback: every element is boxed and the
+    * lambda interpreted, which dominated the pair-scoring stages.
+    * Bit-identical to the column form on equal-length inputs: floats
+    * widen exactly to double, the products/squares are accumulated in
+    * the same left-to-right order, and the final expression is the same
+    * dot / (sqrt · sqrt). (Unequal lengths never occur in the pipeline —
+    * the column form would null out such a pair.) */
+  private[ops] def rawCosine(a: Seq[Float], b: Seq[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Exact-cosine re-rank of candidate id pairs: embeddings joined back
+    * by id, dot+norms in one typed JVM pass (rawCosine), rounding via
+    * the same round() column as before — so scores are bit-identical to
+    * the previous zip_with/aggregate expression while the per-pair work
+    * runs compiled instead of interpreted. */
+  private def scorePairs(cand: DataFrame, left: DataFrame, right: DataFrame,
+      aName: String, bName: String, broadcastLeft: Boolean): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
+    val l = left.select(col("vec_id").as(aName), col("embedding").as("ea"))
+    val lj = if (broadcastLeft) broadcast(l) else l
+    cand.join(lj, aName)
+      .join(right.select(col("vec_id").as(bName), col("embedding").as("eb")),
+        bName)
+      .select(col(aName), col(bName), col("ea"), col("eb"))
+      .as[(Long, Long, Seq[Float], Seq[Float])]
+      .mapPartitions(_.map { case (a, b, ea, eb) =>
+        (a, b, rawCosine(ea, eb))
+      })
+      .toDF(aName, bName, "raw")
+      .select(col(aName), col(bName), round(col("raw"), 6).as("cos"))
+  }
+
   /** Brute-force cosine top-k neighbors for each query vector.
     * queries is broadcast (small); corpus side streams — one pass, no
     * shuffle of the corpus, per-query top-k via the typed bounded
@@ -41,8 +85,14 @@ object Ann {
       col("embedding").as("c_emb"))
     val scored = c.crossJoin(q)
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("c_emb"))
+      .as[(Long, Long, Seq[Float], Seq[Float])]
+      .mapPartitions(_.map { case (qid, nid, ea, eb) =>
+        (qid, nid, rawCosine(ea, eb))
+      })
+      .toDF("query_id", "neighbor_id", "raw")
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("q_emb"), col("c_emb")), 6).as("cos"))
+        round(col("raw"), 6).as("cos"))
     rankTopK(scored, k)
   }
 
@@ -141,11 +191,17 @@ object Ann {
     * mega-bucket here bounds the self-join at maxBucket² per key — the
     * same guard `Dedup.minhashCandidates` applies to its band buckets. */
   private[ops] def capBuckets(b: DataFrame, maxBucket: Long): DataFrame = {
-    val ok = b.groupBy("t", "bucket")
+    // DROP the over-cap buckets with a broadcast anti join instead of
+    // KEEPING through an equi-join on the ok set: the over set is
+    // bounded by n_rows / maxBucket (broadcast-safe at any corpus
+    // size), while the ok set grows with the corpus — so the bucket
+    // rows are never shuffled for the join (guide §2.4, §3.1; the
+    // groupBy still partial-aggregates map-side).
+    val over = b.groupBy("t", "bucket")
       .agg(count(lit(1)).as("n_in_bucket"))
-      .filter(col("n_in_bucket") <= maxBucket)
+      .filter(col("n_in_bucket") > maxBucket)
       .select("t", "bucket")
-    b.join(ok, Seq("t", "bucket"))
+    b.join(broadcast(over), Seq("t", "bucket"), "left_anti")
   }
 
   /** Multi-table LSH approximate top-k: candidates = union over L hash
@@ -170,14 +226,8 @@ object Ann {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()
-    val scored = cand
-      .join(broadcast(queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("q_emb"))), "query_id")
-      .join(corpus.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("c_emb")), "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("q_emb"), col("c_emb")), 6).as("cos"))
-    rankTopK(scored, k)
+    rankTopK(scorePairs(cand, queries, corpus, "query_id", "neighbor_id",
+      broadcastLeft = true), k)
   }
 
   /** Centroid count sized for the corpus: ≈ √n — the standard IVF cell
@@ -349,14 +399,8 @@ object Ann {
               dims: Int = 64, kmeansIters: Int = 0): DataFrame = {
     val cand = ivfCandidates(queries, corpus, nCentroids, nProbe, dims,
       kmeansIters)
-    val scored = cand
-      .join(broadcast(queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("q_emb"))), "query_id")
-      .join(corpus.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("c_emb")), "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("q_emb"), col("c_emb")), 6).as("cos"))
-    rankTopK(scored, k)
+    rankTopK(scorePairs(cand, queries, corpus, "query_id", "neighbor_id",
+      broadcastLeft = true), k)
   }
 
   /** Distinct same-bucket id pairs (doc_a < doc_b) across the L hash
@@ -389,13 +433,8 @@ object Ann {
                          nPlanes: Int = 8, nTables: Int = 6,
                          dims: Int = 64, maxBucket: Long = 1000L): DataFrame = {
     val cand = lshCandidatePairs(corpus, nPlanes, nTables, dims, maxBucket)
-    cand
-      .join(corpus.select(col("vec_id").as("doc_a"),
-        col("embedding").as("ea")), "doc_a")
-      .join(corpus.select(col("vec_id").as("doc_b"),
-        col("embedding").as("eb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        round(cosine(col("ea"), col("eb")), 6).as("cos"))
+    scorePairs(cand, corpus, corpus, "doc_a", "doc_b",
+        broadcastLeft = false)
       .filter(col("cos") >= minCos)
   }
 }

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import graft.index.Builder
 import graft.util.CrossHash
@@ -21,6 +21,18 @@ import graft.util.CrossHash
   * exactly reproducible by the DuckDB oracle.
   */
 object Dedup {
+
+  /** Edge-count ceiling for connectedComponents' driver union-find fast
+    * path: at or below this the whole CANONICAL edge set (deduped,
+    * 16 bytes/edge — never the docs) is collected once and closed with
+    * union-find, replacing O(log n) shuffle rounds whose fixed per-round
+    * cost (2 shuffle phases + eager checkpoint + signature job) dominates
+    * small and medium pair graphs; above it the log-round star
+    * contraction runs unchanged. 1M edges ≈ tens of MB on the driver —
+    * the same bounded-collect discipline as the other audited driver
+    * sites (WandDfCap, DictCap, nCentroids). Data-size threshold, not a
+    * core-count tunable: the cutover is identical on a cluster. */
+  val DriverCcMaxEdges = 1000000L
 
   /** Lineage truncation shared by jaccardPairs and connectedComponents:
     * RELIABLE checkpoint when the session has a checkpoint dir (survives
@@ -78,12 +90,21 @@ object Dedup {
       .groupBy("content_sha256")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
 
-  /** Keep one representative per exact-duplicate group. */
-  def exactDedup(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))
-    docs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
-  }
+  /** Keep one representative per exact-duplicate group.
+    *
+    * Shape: the representative set comes from `exactGroups` (one hash
+    * shuffle of (sha256, doc_id) — never the content), and the survivors
+    * are kept with a semi-join on doc_id. The previous
+    * Window.partitionBy(sha2(text)) form hash-shuffled FULL content rows
+    * AND funneled a mega-duplicate group (millions of copies of one
+    * boilerplate file — the common web-corpus pathology) through a
+    * single task; here content rows move at most once, spread evenly by
+    * the unique doc_id, and no per-group task exists (guide §2.5; same
+    * fix class as Events.sessionizePartitioned). */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.join(
+      exactGroups(docs).select(col("min_doc_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
 
   /** Word k-gram shingle set per doc (distinct, space-joined).
     *
@@ -157,11 +178,17 @@ object Dedup {
                      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
                    : DataFrame = {
     val sh0 = shingles(docs, k)
-    val shDf = sh0.groupBy("shingle").agg(count(lit(1)).as("sh_df"))
+    // df cap as a broadcast ANTI join against the tiny HOT set (df >
+    // cap, bounded by n_rows / maxShingleDf) instead of an equi-join on
+    // the huge ok set — the shingle universe is never shuffled for the
+    // cap (guide §2.4/§3.1; the same shape DocOrder.signatures uses)
+    val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("sh_df"))
+      .filter(col("sh_df") > maxShingleDf)
+      .select("shingle")
     // the capped shingle set is read 3x (sizes + both join sides); at
     // corpus scale pass DISK_ONLY so the full shingle universe never
     // competes for executor memory with the self-join's shuffle
-    val sh = sh0.join(shDf.filter(col("sh_df") <= maxShingleDf), "shingle")
+    val sh = sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
       .select("doc_id", "shingle")
       .persist(shingleStorage)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -254,11 +281,14 @@ object Dedup {
         (docId, b, key)
       }
     }.toDF("doc_id", "band", "bkey")
-    val bucketSizes = banded.groupBy("band", "bkey")
+    // drop the (tiny, broadcast-safe) over-cap bucket set with an anti
+    // join instead of keep-joining the full bucket list — same shape as
+    // Ann.capBuckets (guide §2.4/§3.1)
+    val over = banded.groupBy("band", "bkey")
       .agg(count(lit(1)).as("n_in_bucket"))
-      .filter(col("n_in_bucket") <= maxBucket)
+      .filter(col("n_in_bucket") > maxBucket)
       .select("band", "bkey")
-    val kept = banded.join(bucketSizes, Seq("band", "bkey"))
+    val kept = banded.join(broadcast(over), Seq("band", "bkey"), "left_anti")
     val a = kept.as("a"); val b = kept.as("b")
     a.join(b, col("a.band") === col("b.band")
         && col("a.bkey") === col("b.bkey")
@@ -276,7 +306,12 @@ object Dedup {
     * pairwise detectors (jaccardPairs / minhashCandidates /
     * cosineNearDupPairs); docs not in any pair are their own rep.
     *
-    * Algorithm: alternating large-star / small-star contraction (the
+    * Algorithm: when the canonical edge count fits `maxDriverEdges`
+    * (default DriverCcMaxEdges), a bounded collect + driver union-find +
+    * broadcast label join — one pass, no iteration (the capped pair
+    * detectors upstream keep most real graphs in this regime, and the
+    * star loop's fixed per-round cost dominated them). Beyond the bound:
+    * alternating large-star / small-star contraction (the
     * published MapReduce CC algorithm of Kiveris et al., "Connected
     * Components in MapReduce and Beyond" — public knowledge), which
     * converges in O(log n) rounds on ANY graph shape: per round, every
@@ -302,8 +337,10 @@ object Dedup {
     *
     * Returns (doc_id, cluster_rep). */
   def connectedComponents(docs: DataFrame, pairs: DataFrame,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          maxDriverEdges: Long = DriverCcMaxEdges): DataFrame = {
     val spark = docs.sparkSession
+    import spark.implicits._
     def trunc(df: DataFrame): DataFrame = truncate(spark, df)
     val selfLabels = docs.select(col("doc_id"),
       col("doc_id").cast("long").as("cluster_rep"))
@@ -359,7 +396,45 @@ object Dedup {
       (r.getLong(0), r.getLong(1), r.getDecimal(2), r.getDecimal(3))
     }
 
-    var prevSig = sig(edges)
+    val firstSig = sig(edges)
+    // ---- small-graph fast path: bounded driver union-find ------------
+    // The near-dup detectors upstream cap every join key, so the pair
+    // graph is usually FAR smaller than the corpus; when the canonical
+    // edge count (known from the signature just computed) fits the
+    // bounded-collect budget, one collect + union-find + broadcast join
+    // replaces the whole iterative loop — identical labels (min
+    // reachable id), none of the per-round shuffle/checkpoint overhead.
+    if (firstSig._1 <= maxDriverEdges) {
+      val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
+      release(spark, edges)
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrElse(x, x)
+        while (p != x) { // path halving
+          val gp = parent.getOrElse(p, p)
+          parent(x) = gp; x = gp; p = parent.getOrElse(x, x)
+        }
+        x
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        // union by MIN id: the root of every tree is the component min,
+        // so find() directly yields the cluster representative
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val labelRows = es.iterator
+        .flatMap { case (a, b) => Iterator(a, b) }
+        .toSet[Long].iterator
+        .map(n => (n, find(n))).toSeq
+      val labelDf = broadcast(labelRows.toDF("doc_id", "rep"))
+      return docs.select(col("doc_id"))
+        .join(labelDf, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("rep"), col("doc_id").cast("long")).as("cluster_rep"))
+    }
+
+    var prevSig = firstSig
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {

@@ -76,12 +76,15 @@ object Events {
   }
 
   /** One partition-local session in the two-phase form below: [startUs,
-    * endUs], event count, exact cents sum, and whether it is the FIRST
-    * or LAST session of its user within its partition (only those can
+    * endUs], event count, exact cents sum, the count of NON-NULL values
+    * (so an all-null session can emit a NULL sum like `sessionize`'s
+    * null-skipping decimal sum does), and whether it is the FIRST or
+    * LAST session of its user within its partition (only those can
     * merge across a partition boundary). Not private: Catalyst codegen
     * must access the accessors. */
   case class LocalSession(user_id: Long, startUs: Long, endUs: Long,
-                          n: Long, sumCents: Long, boundary: Boolean)
+                          n: Long, sumCents: Long, nVals: Long,
+                          boundary: Boolean)
 
   /** Skew-proof sessionization — identical output to `sessionize`, built
     * for the user the per-user window form cannot absorb: a Window
@@ -98,7 +101,7 @@ object Events {
     *
     * Exactness: event times in microseconds, sums in exact cents
     * (decimal(18,2)·100 → long), the same strict-gap rule as
-    * `sessionize` — OpsSpec asserts row-identical output on shared
+    * `sessionize` — SkewSpec asserts row-identical output on shared
     * fixtures including chains spanning every partition. */
   def sessionizePartitioned(events: DataFrame, gapMinutes: Int,
                             partitions: Int = 0): DataFrame = {
@@ -111,10 +114,14 @@ object Events {
       .select(col("user_id").cast("long").as("u"),
         unix_micros(col("ts").cast("timestamp")).as("ts_us"),
         coalesce((col("value").cast("decimal(18,2)") * 100).cast("long"),
-          lit(0L)).as("cents"))
+          lit(0L)).as("cents"),
+        // non-null marker: sessionize's decimal sum SKIPS nulls and
+        // yields NULL for an all-null session — the cents sum must
+        // distinguish "all null" (NULL) from "sums to zero" (0.0)
+        when(col("value").isNotNull, 1L).otherwise(0L).as("has_v"))
       .repartitionByRange(nPart, col("u"), col("ts_us"))
       .sortWithinPartitions(col("u"), col("ts_us"))
-      .as[(Long, Long, Long)]
+      .as[(Long, Long, Long, Long)]
     val local: Dataset[LocalSession] = timeline.mapPartitions { it =>
       val out = scala.collection.mutable.ArrayBuffer.empty[LocalSession]
       // first session index per user, to mark boundaries after the scan
@@ -122,19 +129,19 @@ object Events {
       val lastIdx = scala.collection.mutable.HashMap.empty[Long, Int]
       var curU = Long.MinValue
       var open = false
-      var s0 = 0L; var s1 = 0L; var n = 0L; var cents = 0L
+      var s0 = 0L; var s1 = 0L; var n = 0L; var cents = 0L; var nv = 0L
       def close(): Unit = if (open) {
         val idx = out.length
-        out += LocalSession(curU, s0, s1, n, cents, boundary = false)
+        out += LocalSession(curU, s0, s1, n, cents, nv, boundary = false)
         if (!firstIdx.contains(curU)) firstIdx(curU) = idx
         lastIdx(curU) = idx
         open = false
       }
-      it.foreach { case (u, tUs, c) =>
+      it.foreach { case (u, tUs, c, v) =>
         if (u != curU) { close(); curU = u }
         else if (open && tUs - s1 > gapUs) close()
-        if (!open) { open = true; s0 = tUs; s1 = tUs; n = 1L; cents = c }
-        else { s1 = tUs; n += 1L; cents += c }
+        if (!open) { open = true; s0 = tUs; s1 = tUs; n = 1L; cents = c; nv = v }
+        else { s1 = tUs; n += 1L; cents += c; nv += v }
       }
       close()
       firstIdx.valuesIterator.foreach { i =>
@@ -160,7 +167,8 @@ object Events {
           val nx = ss(i)
           if (nx.startUs - cur.endUs <= gapUs)
             cur = LocalSession(u, cur.startUs, math.max(cur.endUs, nx.endUs),
-              cur.n + nx.n, cur.sumCents + nx.sumCents, boundary = true)
+              cur.n + nx.n, cur.sumCents + nx.sumCents,
+              cur.nVals + nx.nVals, boundary = true)
           else { out += cur; cur = nx }
           i += 1
         }
@@ -171,7 +179,11 @@ object Events {
       .select(col("user_id"),
         (col("startUs") / 1000000L).cast("long").as("session_start"),
         col("n").as("n_events"),
-        round((col("sumCents") / 100.0).cast("double"), 6).as("sum_value"))
+        // all-null session -> NULL, matching sessionize's null-skipping
+        // decimal sum (the documented identical-output contract)
+        when(col("nVals") === 0L, lit(null).cast("double"))
+          .otherwise(round((col("sumCents") / 100.0).cast("double"), 6))
+          .as("sum_value"))
   }
 
   // not private: Catalyst codegen must be able to access the accessors

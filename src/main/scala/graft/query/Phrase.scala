@@ -62,10 +62,16 @@ object Phrase {
 
     // conjunctive candidates from the core index (already block-pruned),
     // budget applied per query through a bounded aggregator — never a
-    // global sort or an unbounded per-query row set
-    val candidates = capCandidates(spark,
+    // global sort or an unbounded per-query row set. The cap stage is an
+    // extra full shuffle of the candidate set, so it is SKIPPED when it
+    // provably cannot bind: conjunctive candidates per query never
+    // exceed the rarest term's df, and the dictionary probe already
+    // holds the dfs (r5 verdict: the always-on cap was the structural
+    // suspect in the phrase-path slowdown).
+    val candidates = capIfNeeded(spark,
       Searcher.searchCandidates(spark, indexDir,
-        phrases.filter(q => live.contains(q.query_id))), maxCandidates)
+        phrases.filter(q => live.contains(q.query_id))),
+      maxCandidates, live, dict)
 
     // positions for the candidate docs' terms
     val liveTerms = live.keys.flatMap(distinctPerQuery).toSeq.distinct
@@ -121,6 +127,23 @@ object Phrase {
       .toDF("query_id", "rank", "doc_id", "score")
   }
 
+  /** capCandidates, skipped when provably non-binding: per query the
+    * conjunctive candidate set is a subset of EVERY term's postings, so
+    * |candidates| <= min df of the phrase's terms; when that bound is
+    * within the budget for every live phrase, the cap stage (a full
+    * extra shuffle of the candidate set) is the identity and is elided.
+    * `dict` maps each live term to its df (the dictionary probe already
+    * paid for it). */
+  private def capIfNeeded(spark: SparkSession, all: DataFrame,
+                          maxCandidates: Long, live: Map[Long, Seq[String]],
+                          dict: Map[String, Long]): DataFrame = {
+    val canBind = live.values.exists { ts =>
+      ts.filter(dict.contains).map(dict).foldLeft(Long.MaxValue)(math.min) >
+        maxCandidates
+    }
+    if (canBind) capCandidates(spark, all, maxCandidates) else all
+  }
+
   /** Per-query candidate budget, applied BEFORE the positions join
     * through a bounded typed aggregator — never a global sort or an
     * unbounded per-query row set; keeps the `cap` smallest doc_ids. */
@@ -167,9 +190,10 @@ object Phrase {
     val emptyOut = Seq.empty[(Long, Long, Long)]
       .toDF("query_id", "doc_id", "pos")
     if (live.isEmpty) return emptyOut
-    val candidates = capCandidates(spark,
+    val candidates = capIfNeeded(spark,
       Searcher.searchCandidates(spark, indexDir,
-        phrases.filter(q => live.contains(q.query_id))), maxCandidates)
+        phrases.filter(q => live.contains(q.query_id))),
+      maxCandidates, live, dict)
     val liveTerms = live.keys.flatMap(distinctPerQuery).toSeq.distinct
     val positions = spark.read.parquet(s"$indexDir/positions")
       .filter(col("bucket").isin(

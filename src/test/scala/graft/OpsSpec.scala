@@ -414,14 +414,22 @@ class OpsSpec extends SparkTestBase {
     val nodes = (0L until n.toLong).toDF("doc_id")
     val chain = (0L until (n - 1).toLong)
       .map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val ok = graft.ops.Dedup.connectedComponents(nodes, chain)
+    // maxDriverEdges = 0 forces the distributed star loop — the shape
+    // this test pins (the default would take the driver fast path here)
+    val ok = graft.ops.Dedup.connectedComponents(nodes, chain,
+        maxDriverEdges = 0L)
       .as[(Long, Long)].collect()
     assert(ok.length == n)
     assert(ok.forall(_._2 == 0L)) // one component, rep = min id
+    // the driver fast path (default threshold) must agree exactly
+    val fast = graft.ops.Dedup.connectedComponents(nodes, chain)
+      .as[(Long, Long)].collect()
+    assert(fast.sorted.toSeq == ok.sorted.toSeq)
     // a silent wrong-rep return is worse than failing: non-convergence
     // within maxIter must still throw
     intercept[IllegalStateException] {
-      graft.ops.Dedup.connectedComponents(nodes, chain, maxIter = 1)
+      graft.ops.Dedup.connectedComponents(nodes, chain, maxIter = 1,
+          maxDriverEdges = 0L)
         .collect()
     }
   }
@@ -457,10 +465,34 @@ class OpsSpec extends SparkTestBase {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val want = ids.map(i => i -> find(i)).toMap
+      // default threshold -> driver union-find fast path
       val got = graft.ops.Dedup.connectedComponents(nodes, pairs)
         .as[(Long, Long)].collect().toMap
-      assert(got == want, s"seed $seed")
+      assert(got == want, s"seed $seed (fast path)")
+      // forced star contraction (maxDriverEdges = 0) must agree exactly
+      val gotStar = graft.ops.Dedup.connectedComponents(nodes, pairs,
+          maxDriverEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(gotStar == want, s"seed $seed (star path)")
     }
+  }
+
+  test("exactDedup: skew-free shape, no Window funnel, reps exact") {
+    import spark.implicits._
+    // one 10k-copy duplicate group (the boilerplate-file pathology) plus
+    // distinct rows: the representative set must be exact and the plan
+    // must contain NO Window over the content hash (the r5 shape
+    // funneled the mega-group through a single task)
+    val rows = (0L until 10000L).map(i => (i, "same boilerplate text")) ++
+      Seq((20000L, "unique a"), (20001L, "unique b"),
+        (20002L, "unique a"))
+    val d = rows.toDF("doc_id", "text")
+    val out = Dedup.exactDedup(d).as[(Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((0L, "same boilerplate text"),
+      (20000L, "unique a"), (20001L, "unique b")))
+    val plan = Dedup.exactDedup(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "exactDedup must not funnel duplicate groups through a window")
   }
 
   test("ivfTopK does not assume dense 0-based vec_ids") {

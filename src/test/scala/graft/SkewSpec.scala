@@ -143,4 +143,32 @@ class SkewSpec extends SparkTestBase {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(ma == mb)
   }
+
+  test("sessionizePartitioned NULL values: all-null session sums to NULL") {
+    import spark.implicits._
+    import graft.ops.Events
+    def ts(min: Long) = new java.sql.Timestamp(min * 60L * 1000L)
+    // user 1: one all-null-value session (sum_value must be NULL, like
+    // sessionize's null-skipping decimal sum) and one mixed session
+    // (nulls skipped, sum over the non-null values); user 2: non-null
+    val rows = Seq(
+      (1L, ts(0), 1L, "e", null.asInstanceOf[java.lang.Double]),
+      (2L, ts(5), 1L, "e", null.asInstanceOf[java.lang.Double]),
+      (3L, ts(60), 1L, "e", java.lang.Double.valueOf(2.5)),
+      (4L, ts(65), 1L, "e", null.asInstanceOf[java.lang.Double]),
+      (5L, ts(66), 1L, "e", java.lang.Double.valueOf(1.25)),
+      (6L, ts(0), 2L, "e", java.lang.Double.valueOf(3.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val a = Events.sessionize(rows, 10)
+      .orderBy("user_id", "session_start")
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    val b = Events.sessionizePartitioned(rows, 10, partitions = 4)
+      .orderBy("user_id", "session_start")
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    assert(a == b)
+    // the all-null session really is NULL (not 0.0)
+    assert(a.exists { case (u, _, n, sv) => u == 1L && n == 2L && sv.isEmpty })
+    assert(a.exists { case (u, _, n, sv) =>
+      u == 1L && n == 3L && sv.contains(3.75) })
+  }
 }
