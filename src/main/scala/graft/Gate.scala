@@ -377,19 +377,12 @@ object Gate {
 
   /** Bigram spectrum — the k-mer spectrum analog (gin utils spectrum,
     * /root/reference/src/gin_graph.c:164-280). */
-  def qSpectrumBigram(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val toks = Builder.tokensCol(col("text"))
-    // bigrams via one zip_with of the array with its shift (no per-element
-    // slice — that is O(n) per element and 50x slower)
-    d.select(toks.as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(explode(zip_with(
-        slice(col("t"), lit(1), size(col("t")) - 1),
-        slice(col("t"), lit(2), size(col("t")) - 1),
-        (a, b) => concat(a, lit(" "), b))).as("bigram"))
-      .groupBy("bigram").agg(count(lit(1)).cast("long").as("n"))
-  }
+  def qSpectrumBigram(s: SparkSession, dir: String): DataFrame =
+    // k=2 spectrum through the shared typed k-gram walk (the inline
+    // zip_with form was interpreted — CodegenFallback); same strings,
+    // same counts, output column renamed to the gate schema
+    Dedup.kgramSpectrum(docs(s, dir), 2)
+      .select(col("gram").as("bigram"), col("n"))
 
   def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(docs(s, dir))

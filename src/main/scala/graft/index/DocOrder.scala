@@ -121,18 +121,19 @@ object DocOrder {
                      partitions: Int): DataFrame = {
     val nPart = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // localCheckpoint (eager) truncates the lineage at the sorted rows:
-    // zipWithIndex below runs an EAGER offset job at call time, and the
-    // caller consumes the frame again afterwards — without truncation
-    // each of those passes re-ran the whole tokenize + df-cap +
-    // signature aggregation + range sort (2-3 corpus scans per
-    // consumption, the r5 verdict's "3 corpus scans" note). The
-    // materialized rows are just (repo, path, commit) — n small rows.
+    // persist the sorted rows: zipWithIndex below runs an EAGER offset
+    // job at call time (which fills the cache), and the caller consumes
+    // the frame again afterwards — without the cache each pass re-ran
+    // the whole tokenize + df-cap + signature aggregation + range sort
+    // (2-3 corpus scans per consumption, the r5 verdict's "3 corpus
+    // scans" note). The cached rows are just (repo, path, commit) — n
+    // small rows; plain persist (not checkpoint) so no extra
+    // materialization job is paid.
     val sorted = sigs
       .repartitionByRange(nPart, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
       .select("repo", "path", "commit")
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val schema = StructType(sorted.schema.fields :+
       StructField("ord", LongType, nullable = false))

@@ -106,41 +106,53 @@ object Dedup {
       exactGroups(docs).select(col("min_doc_id").as("doc_id")),
       Seq("doc_id"), "left_semi")
 
-  /** Word k-gram shingle set per doc (distinct, space-joined).
-    *
-    * Built by zip_with over k shifted views of the token array — O(n·k)
-    * string work with no per-element `slice` call (slice inside a lambda
-    * forces an O(n) array copy per element, observed 50x slower). */
-  def shingles(docs: DataFrame, k: Int): DataFrame = {
-    val toks = Builder.tokensCol(col("text"))
-    docs.select(col("doc_id"), toks.as("toks"))
-      .withColumn("n", size(col("toks")))
-      .filter(col("n") >= k)
-      .select(col("doc_id"),
-        explode(array_distinct(kgrams(col("toks"), col("n"), k))).as("shingle"))
+  /** All overlapping space-joined k-grams of `toks`, in order. One
+    * StringBuilder pass per gram — the typed replacement for the earlier
+    * zip_with-chain column form: Spark's higher-order array expressions
+    * (zip_with / transform / aggregate) are CodegenFallback, so every
+    * token was boxed and every lambda interpreted on the spectrum and
+    * shingle hot paths. Output strings are identical. */
+  private def kgramIter(toks: Seq[String], k: Int): Iterator[String] = {
+    val n = toks.length - k + 1
+    if (n <= 0) Iterator.empty
+    else Iterator.tabulate(n) { i =>
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      sb.toString
+    }
   }
 
-  /** Array of space-joined k-grams of `toks` (length n >= k).
-    * Every shifted view is clipped to exactly n-k+1 elements: zip_with
-    * null-PADS the shorter input (it does not truncate), and a null
-    * element would both poison concat and inflate shingle counts. */
-  private[ops] def kgrams(toks: Column, n: Column, k: Int): Column = {
-    val len = n - (k - 1)
-    val first = slice(toks, lit(1), len)
-    (1 until k).foldLeft(first) { (acc, off) =>
-      zip_with(acc, slice(toks, lit(off + 1), len),
-        (a, b) => concat(a, lit(" "), b))
-    }
+  /** Word k-gram shingle set per doc (distinct, space-joined): tokens
+    * come from the same codegen'd tokenizer column, the k-gram walk and
+    * per-doc dedup run in one typed pass (see kgramIter). */
+  def shingles(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), Builder.tokensCol(col("text")))
+      .as[(Long, Seq[String])]
+      .flatMap { case (id, toks) =>
+        val seen = new java.util.HashSet[String]()
+        kgramIter(toks, k).flatMap(s =>
+          if (seen.add(s)) Iterator.single((id, s)) else Iterator.empty)
+      }
+      .toDF("doc_id", "shingle")
   }
 
   /** k-gram spectrum: global k-gram counts over the corpus — the k-mer
     * spectrum analog for arbitrary k (gin utils spectrum,
     * /root/reference/src/gin_graph.c:164-280). */
   def kgramSpectrum(docs: DataFrame, k: Int): DataFrame = {
-    val toks = Builder.tokensCol(col("text"))
-    docs.select(toks.as("t"))
-      .filter(size(col("t")) >= k)
-      .select(explode(kgrams(col("t"), size(col("t")), k)).as("gram"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(Builder.tokensCol(col("text")))
+      .as[Seq[String]]
+      .flatMap(kgramIter(_, k))
+      .toDF("gram")
       .groupBy("gram").agg(count(lit(1)).cast("long").as("n"))
   }
 
@@ -149,11 +161,12 @@ object Dedup {
     * its origin vertices (/root/reference/src/gin_graph.c:231-270);
     * kgramSpectrum is its origin-blind aggregate. */
   def kgramOrigins(docs: DataFrame, k: Int): DataFrame = {
-    val toks = Builder.tokensCol(col("text"))
-    docs.select(col("doc_id"), toks.as("t"))
-      .filter(size(col("t")) >= k)
-      .select(col("doc_id"),
-        explode(kgrams(col("t"), size(col("t")), k)).as("gram"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), Builder.tokensCol(col("text")))
+      .as[(Long, Seq[String])]
+      .flatMap { case (id, toks) => kgramIter(toks, k).map(g => (id, g)) }
+      .toDF("doc_id", "gram")
       .groupBy("gram", "doc_id").agg(count(lit(1)).cast("long").as("n"))
   }
 
@@ -192,10 +205,26 @@ object Dedup {
       .select("doc_id", "shingle")
       .persist(shingleStorage)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val common = a.join(b, col("a.shingle") === col("b.shingle")
-        && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // pair generation as ONE shuffle of the capped shingle set (group by
+    // shingle, emit ordered pairs inside the group) instead of the
+    // self-join's two-sided shuffle — same (doc_a < doc_b) rows, and the
+    // per-group fan-out is bounded by the df cap exactly as the join's
+    // was (maxShingleDf² worst case per hot shingle). Guide §2.4: two
+    // operations keyed the same way share one exchange.
+    import sh.sparkSession.implicits._
+    val common = sh.as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroups { (_, it) =>
+        val ids = it.map(_._1).toArray
+        java.util.Arrays.sort(ids)
+        val n = ids.length
+        if (n < 2) Iterator.empty
+        else Iterator.range(0, n - 1).flatMap { i =>
+          Iterator.range(i + 1, n).map(j => (ids(i), ids(j)))
+        }
+      }
+      .toDF("doc_a", "doc_b")
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_common"))
     val pairs = common
       .join(sizes.withColumnRenamed("doc_id", "doc_a")

@@ -79,13 +79,26 @@ object TextOps {
     * failure, so wrapping arithmetic is not an option), and h60 makes the
     * value bit-identical in the DuckDB oracle. */
   def fingerprint(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val M = 1000000007L
-    val toks = Builder.tokensCol(col("text"))
-    docs.select(
-      col("doc_id"),
-      aggregate(toks, lit(0L),
-        (acc, t) => pmod(acc * lit(31L) +
-          pmod(graft.util.CrossHash.h60(t), lit(M)), lit(M)))
-        .as("fingerprint"))
+    // typed fold: the aggregate() column form interpreted its lambda per
+    // token (higher-order expressions are CodegenFallback) and computed
+    // h60 through an md5-hex -> conv string round trip; the JVM h60
+    // agrees bit-for-bit (CoreSpec parity) and every intermediate stays
+    // exact: acc < M and h < M so acc*31 + h < 2^35 — no overflow, and
+    // all values are non-negative so % == pmod.
+    docs.select(col("doc_id").cast("long"), Builder.tokensCol(col("text")))
+      .as[(Long, Seq[String])]
+      .mapPartitions(_.map { case (id, toks) =>
+        var acc = 0L
+        var i = 0
+        while (i < toks.length) {
+          acc = (acc * 31L + graft.util.CrossHash.h60(toks(i)) % M) % M
+          i += 1
+        }
+        (id, acc)
+      })
+      .toDF("doc_id", "fingerprint")
   }
 }

@@ -477,6 +477,19 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("CrossHash.h60: JVM form == column form (typed fingerprint path)") {
+    import spark.implicits._
+    // TextOps.fingerprint now hashes tokens with the JVM h60; the oracle
+    // parity rests on the two forms agreeing bit-for-bit, including on
+    // multi-byte UTF-8
+    val samples = Seq("", "a", "the", "token_with_underscores_0123456789",
+      "Zürich", "漢字テスト", "mixed 😀 emoji")
+    val got = samples.toDF("s")
+      .select(graft.util.CrossHash.h60(col("s")).as("h"))
+      .as[Long].collect().toSeq
+    assert(got == samples.map(graft.util.CrossHash.h60))
+  }
+
   test("exactDedup: skew-free shape, no Window funnel, reps exact") {
     import spark.implicits._
     // one 10k-copy duplicate group (the boilerplate-file pathology) plus
