@@ -404,23 +404,53 @@ object Ann {
   }
 
   /** Distinct same-bucket id pairs (doc_a < doc_b) across the L hash
-    * tables, with the maxBucket cap applied BEFORE the self-join — the
-    * candidate stage of cosineNearDupPairs, exposed so tests can assert
-    * the cap bounds candidate volume at O(maxBucket²) per bucket instead
-    * of O(|cluster|²). `nPlanes = 0` derives planes from corpus size. */
+    * tables, with the maxBucket cap applied BEFORE any pair is emitted —
+    * the candidate stage of cosineNearDupPairs, exposed so tests can
+    * assert the cap bounds candidate volume at O(maxBucket²) per bucket
+    * instead of O(|cluster|²). `nPlanes = 0` derives planes from corpus
+    * size.
+    *
+    * ONE shuffle fuses the occupancy cap and the pair generation: bucket
+    * rows group by (t, bucket), each group buffers at most maxBucket+1
+    * member ids — a bucket past the cap is dropped exactly as the
+    * previous groupBy-count + join filter dropped it, WITHOUT
+    * materializing the mega-bucket (task memory stays O(maxBucket)) —
+    * and surviving groups emit their ordered id pairs directly. This
+    * replaces the former cap shuffle + two-sided self-join shuffle of
+    * the bucket rows (guide §2.4). Candidates stay ids-only (16
+    * bytes/row); embeddings rejoin afterwards. */
   def lshCandidatePairs(corpus: DataFrame, nPlanes: Int, nTables: Int,
                         dims: Int, maxBucket: Long): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val planes = if (nPlanes > 0) nPlanes else autoPlanes(corpus.count())
-    // ids-only candidate pairs (bucket join + distinct on 16-byte rows);
-    // embeddings rejoin afterwards — Catalyst broadcasts the embedding
-    // side when small, shuffle-joins on vec_id at scale
-    val b = capBuckets(bucketRows(corpus, planes, nTables, dims), maxBucket)
-    val l = b.as("a"); val r = b.as("b")
-    l.join(r,
-        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")
-          && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+    bucketRows(corpus, planes, nTables, dims)
+      .as[(Long, Int, Long)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroups { (_, it) => bucketPairs(it.map(_._1), maxBucket) }
+      .toDF("doc_a", "doc_b")
       .distinct()
+  }
+
+  /** Ordered (a < b) id pairs of one bucket's members, empty when the
+    * bucket exceeds `maxBucket` (buffering stops at maxBucket+1 ids, so
+    * a degenerate mega-bucket never occupies task memory). */
+  private[ops] def bucketPairs(members: Iterator[Long],
+                               maxBucket: Long): Iterator[(Long, Long)] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var over = false
+    while (members.hasNext && !over) {
+      buf += members.next()
+      if (buf.length.toLong > maxBucket) over = true
+    }
+    if (over || buf.length < 2) Iterator.empty
+    else {
+      val ids = buf.toArray
+      java.util.Arrays.sort(ids)
+      Iterator.range(0, ids.length - 1).flatMap { i =>
+        Iterator.range(i + 1, ids.length).map(j => (ids(i), ids(j)))
+      }
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold (doc_a <

@@ -309,20 +309,18 @@ object Dedup {
         val key = sig.slice(b * rows, (b + 1) * rows).mkString(",")
         (docId, b, key)
       }
-    }.toDF("doc_id", "band", "bkey")
-    // drop the (tiny, broadcast-safe) over-cap bucket set with an anti
-    // join instead of keep-joining the full bucket list — same shape as
-    // Ann.capBuckets (guide §2.4/§3.1)
-    val over = banded.groupBy("band", "bkey")
-      .agg(count(lit(1)).as("n_in_bucket"))
-      .filter(col("n_in_bucket") > maxBucket)
-      .select("band", "bkey")
-    val kept = banded.join(broadcast(over), Seq("band", "bkey"), "left_anti")
-    val a = kept.as("a"); val b = kept.as("b")
-    a.join(b, col("a.band") === col("b.band")
-        && col("a.bkey") === col("b.bkey")
-        && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    }
+    // ONE shuffle fuses the bucket cap and the pair generation (the same
+    // bounded-buffer shape as Ann.lshCandidatePairs/bucketPairs): a band
+    // bucket past maxBucket is dropped without materializing it, and
+    // surviving buckets emit ordered id pairs directly — replacing the
+    // former occupancy shuffle + two-sided self-join of the banded rows.
+    banded
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroups { (_, it) =>
+        graft.ops.Ann.bucketPairs(it.map(_._1), maxBucket)
+      }
+      .toDF("doc_a", "doc_b")
       .distinct()
   }
 
