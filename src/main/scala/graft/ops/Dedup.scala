@@ -372,15 +372,54 @@ object Dedup {
     val selfLabels = docs.select(col("doc_id"),
       col("doc_id").cast("long").as("cluster_rep"))
     // canonical undirected edge set (lo < hi), self-pairs dropped
-    var edges = trunc(pairs
+    val edgesPlan = pairs
       .select(least(col("doc_a"), col("doc_b")).cast("long").as("src"),
         greatest(col("doc_a"), col("doc_b")).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct())
-    if (edges.isEmpty) {
-      release(spark, edges)
-      return selfLabels
+      .distinct()
+
+    // ---- small-graph fast path: bounded driver union-find ------------
+    // ONE job probes the edge set with limit(bound+1): at or below the
+    // bound we already hold every canonical edge (limit returns all rows
+    // when none are cut) and close the components with union-find —
+    // replacing the whole iterative loop (and its per-round shuffle +
+    // checkpoint + signature jobs) with a single collect + broadcast
+    // label join. Past the bound the collected prefix is discarded and
+    // the log-round star contraction below runs unchanged, so the
+    // 100 TB shape is intact. The capped pair detectors upstream keep
+    // most real graphs in this regime.
+    val lim = math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt
+    val es = edgesPlan.limit(lim).as[(Long, Long)].collect()
+    if (es.isEmpty) return selfLabels
+    if (es.length.toLong <= maxDriverEdges) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrElse(x, x)
+        while (p != x) { // path halving
+          val gp = parent.getOrElse(p, p)
+          parent(x) = gp; x = gp; p = parent.getOrElse(x, x)
+        }
+        x
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        // union by MIN id: the root of every tree is the component min,
+        // so find() directly yields the cluster representative
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val labelRows = es.iterator
+        .flatMap { case (a, b) => Iterator(a, b) }
+        .toSet[Long].iterator
+        .map(n => (n, find(n))).toSeq
+      val labelDf = broadcast(labelRows.toDF("doc_id", "rep"))
+      return docs.select(col("doc_id"))
+        .join(labelDf, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("rep"), col("doc_id").cast("long")).as("cluster_rep"))
     }
+
+    var edges = trunc(edgesPlan)
 
     /** Large-star: for every node u, connect each STRICTLY LARGER
       * neighbor to min(Γ(u) ∪ {u}). Keeps connectivity, never creates a
@@ -423,45 +462,7 @@ object Dedup {
       (r.getLong(0), r.getLong(1), r.getDecimal(2), r.getDecimal(3))
     }
 
-    val firstSig = sig(edges)
-    // ---- small-graph fast path: bounded driver union-find ------------
-    // The near-dup detectors upstream cap every join key, so the pair
-    // graph is usually FAR smaller than the corpus; when the canonical
-    // edge count (known from the signature just computed) fits the
-    // bounded-collect budget, one collect + union-find + broadcast join
-    // replaces the whole iterative loop — identical labels (min
-    // reachable id), none of the per-round shuffle/checkpoint overhead.
-    if (firstSig._1 <= maxDriverEdges) {
-      val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
-      release(spark, edges)
-      val parent = scala.collection.mutable.LongMap.empty[Long]
-      def find(x0: Long): Long = {
-        var x = x0
-        var p = parent.getOrElse(x, x)
-        while (p != x) { // path halving
-          val gp = parent.getOrElse(p, p)
-          parent(x) = gp; x = gp; p = parent.getOrElse(x, x)
-        }
-        x
-      }
-      es.foreach { case (a, b) =>
-        val ra = find(a); val rb = find(b)
-        // union by MIN id: the root of every tree is the component min,
-        // so find() directly yields the cluster representative
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      }
-      val labelRows = es.iterator
-        .flatMap { case (a, b) => Iterator(a, b) }
-        .toSet[Long].iterator
-        .map(n => (n, find(n))).toSeq
-      val labelDf = broadcast(labelRows.toDF("doc_id", "rep"))
-      return docs.select(col("doc_id"))
-        .join(labelDf, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("rep"), col("doc_id").cast("long")).as("cluster_rep"))
-    }
-
-    var prevSig = firstSig
+    var prevSig = sig(edges)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -503,7 +504,11 @@ object Dedup {
   }
 
   /** SimHash (60-bit, h60 token hashes) over all token occurrences.
-    * Pure column expressions: per bit, the sign of Σ_tokens (±1). */
+    * Pure column expressions: per bit, the sign of Σ_tokens (±1).
+    * (A typed one-pass rewrite was tried this round and measured 2x
+    * SLOWER at sf0.1 — the Dataset boundary's per-token string decode
+    * outweighs the interpreted aggregate walks, which Catalyst
+    * CSE-shares across the 60 bits — so the column form stays.) */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = Builder.tokensCol(col("text"))
     // per-token 60-bit hash, computed once per token occurrence

@@ -20,9 +20,18 @@ object CrossHash {
   def h60(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** Per-thread MD5 instance: getInstance() does a provider lookup per
+    * call, which dominated the typed per-token hot paths (fingerprint /
+    * simhash hash millions of tokens per task). digest() resets the
+    * instance, so reuse is safe. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** JVM form — must agree exactly with h60(Column). */
   def h60(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Local.get()
     val d = md.digest(s.getBytes("UTF-8"))
     // first 60 bits of the digest, big-endian (= first 15 hex chars)
     var v = 0L
