@@ -190,7 +190,10 @@ object Dedup {
                    shingleStorage: org.apache.spark.storage.StorageLevel =
                      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
                    : DataFrame = {
-    val sh0 = shingles(docs, k)
+    // sh0 feeds two consumers (the hot-set aggregation and the anti-join
+    // probe); without a cache each one re-runs the tokenize + shingle
+    // walk — a full corpus scan apiece at scale
+    val sh0 = shingles(docs, k).persist(shingleStorage)
     // df cap as a broadcast ANTI join against the tiny HOT set (df >
     // cap, bounded by n_rows / maxShingleDf) instead of an equi-join on
     // the huge ok set — the shingle universe is never shuffled for the
@@ -240,6 +243,7 @@ object Dedup {
     // call leaks one persisted shingle table for the session lifetime
     val out = truncate(docs.sparkSession, pairs)
     sh.unpersist()
+    sh0.unpersist()
     out
   }
 
@@ -278,14 +282,24 @@ object Dedup {
 
   /** MinHash signatures. Base hash per shingle: h60 (md5) reduced mod
     * 2^31-1; permutation i applies (a_i·x + b_i) mod (2^31-1). Exactly
-    * reproducible in SQL (all arithmetic in BIGINT range). */
+    * reproducible in SQL (all arithmetic in BIGINT range).
+    *
+    * The k-gram walk, per-doc dedup AND the base hash run in ONE typed
+    * pass emitting (doc_id, x31) — the shingle strings never cross an
+    * encoder boundary or an md5-hex → conv round trip (the JVM h60 is
+    * bit-identical to the column form, OpsSpec parity test; h60 ≥ 0 so
+    * % P31 == pmod). The aggregator then combines map-side as before. */
   def minhashSignatures(docs: DataFrame, k: Int, nHashes: Int): Dataset[(Long, Seq[Long])] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    shingles(docs, k)
-      .select(col("doc_id"),
-        pmod(CrossHash.h60(col("shingle")), lit(CrossHash.P31)).as("x31"))
-      .as[(Long, Long)]
+    docs.select(col("doc_id").cast("long"), Builder.tokensCol(col("text")))
+      .as[(Long, Seq[String])]
+      .flatMap { case (id, toks) =>
+        val seen = new java.util.HashSet[String]()
+        kgramIter(toks, k).flatMap(s =>
+          if (seen.add(s)) Iterator.single((id, CrossHash.h60(s) % CrossHash.P31))
+          else Iterator.empty)
+      }
       .groupByKey(_._1)
       .mapValues(_._2)
       .agg(new MinHashAgg(nHashes).toColumn.name("sig"))
