@@ -121,19 +121,22 @@ object DocOrder {
                      partitions: Int): DataFrame = {
     val nPart = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // persist the sorted rows: zipWithIndex below runs an EAGER offset
-    // job at call time (which fills the cache), and the caller consumes
-    // the frame again afterwards — without the cache each pass re-ran
-    // the whole tokenize + df-cap + signature aggregation + range sort
-    // (2-3 corpus scans per consumption, the r5 verdict's "3 corpus
-    // scans" note). The cached rows are just (repo, path, commit) — n
-    // small rows; plain persist (not checkpoint) so no extra
-    // materialization job is paid.
+    // NOTE on caching (r6): zipWithIndex runs an EAGER offset job at
+    // call time and the caller consumes the frame again, so the sort
+    // pipeline executes ~twice per call. Caching the sorted rows was
+    // tried two ways this round and BOTH measured slower than the
+    // recompute at bench scale (eager localCheckpoint: extra
+    // materialization job; RDD persist: block-unroll cost exceeds the
+    // 2nd pipeline pass) — and a DataFrame-level persist is ruled out
+    // outright: the SQL CacheManager is keyed by canonicalized plan, so
+    // it would silently serve LATER invocations on the same input
+    // (cross-invocation result reuse). At corpus scale the double scan
+    // is the documented cost; a caller that needs it cached can persist
+    // the RETURNED rank table (n small rows) under its own lifecycle.
     val sorted = sigs
       .repartitionByRange(nPart, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
       .select("repo", "path", "commit")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val schema = StructType(sorted.schema.fields :+
       StructField("ord", LongType, nullable = false))
